@@ -1,0 +1,345 @@
+"""Device-side data structures (pytrees) and the engine configuration.
+
+Layout philosophy (TPU-first, not a translation of the reference):
+
+* Everything per-frame-dynamic lives in one ``SceneState`` pytree so the whole
+  step+render loop is a single jitted pure function.
+* All shapes are static: vertices, bones, triangles, keyframes and physics
+  bodies are padded at model-build time.
+* Triangles are pre-sorted by draw class (opaque / eye / hair / transparent —
+  mirroring the reference draw lists at engine.ts:113-121) so each render pass
+  consumes a contiguous, statically-shaped slice.
+* Skinning weights are optionally densified to a ``(V, J)`` matrix so linear
+  blend skinning becomes one MXU matmul instead of a gather loop
+  (replaces the WGSL vertex-shader loop at engine.ts:260-269).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+Array = Any  # jax.Array or np.ndarray at build time
+
+
+# ---------------------------------------------------------------------------
+# Engine configuration (mirrors EngineOptions + hard-coded constants,
+# engine.ts:8-14, 75-77, 102-105, 1390-1392; physics.ts:56, 708-709)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    width: int = 1280
+    height: int = 720
+    ambient: float = 1.0
+    bloom_intensity: float = 0.12
+    bloom_threshold: float = 0.3
+    bloom_downscale: int = 2
+    rim_light_intensity: float = 0.45
+    camera_distance: float = 26.6
+    camera_target: tuple[float, float, float] = (0.0, 12.5, 0.0)
+    camera_alpha: float = np.pi
+    camera_beta: float = np.pi / 2.5
+    camera_fov: float = np.pi / 4
+    camera_near: float = 0.05
+    camera_far: float = 1000.0
+    msaa_samples: int = 4
+    stencil_eye_value: int = 1
+    outline_scale: float = 0.01  # engine.ts:459 scaleFactor
+    gravity: tuple[float, float, float] = (0.0, -98.0, 0.0)
+    physics_fixed_dt: float = 1.0 / 75.0
+    physics_max_substeps: int = 10
+    physics_solver_iterations: int = 10
+    enable_physics: bool = True
+    enable_ik: bool = True
+    enable_bloom: bool = True
+    # raster tuning
+    tile_size: int = 64  # binning tile edge in pixels
+    max_tris_per_bin: int = 512
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def bloom_size(self) -> tuple[int, int]:
+        return (self.height // self.bloom_downscale, self.width // self.bloom_downscale)
+
+
+# Default lights (engine.ts:1390-1392): (direction, color, intensity)
+DEFAULT_LIGHTS = (
+    ((-0.5, -0.8, 0.5), (1.0, 0.95, 0.9), 0.02),
+    ((0.7, -0.5, 0.3), (0.8, 0.85, 1.0), 0.015),
+    ((0.3, -0.5, -1.0), (0.9, 0.9, 1.0), 0.01),
+)
+
+MAX_LIGHTS = 4  # engine.ts:1397
+
+# Draw classes (triangle sort order)
+CLASS_OPAQUE = 0
+CLASS_EYE = 1
+CLASS_HAIR = 2
+CLASS_TRANSPARENT = 3
+NUM_CLASSES = 4
+
+
+# ---------------------------------------------------------------------------
+# Static model arrays (device-resident, built once per model)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class Skeleton:
+    """Static skeleton data. J = padded bone count."""
+
+    parent: Array  # (J,) i32, -1 = root
+    bind_trans: Array  # (J, 3) parent-relative bind translation
+    inv_bind_trans: Array  # (J, 3) translation-only inverse bind (= -abs pos)
+    append_parent: Array  # (J,) i32, -1 = none
+    append_ratio: Array  # (J,)
+    append_rotate: Array  # (J,) bool
+    append_move: Array  # (J,) bool
+    after_physics: Array  # (J,) bool (PMX transform stage flag)
+    n_bones: int = struct.field(pytree_node=False)  # real (unpadded) count
+    doubling_steps: int = struct.field(pytree_node=False)  # ceil(log2(depth+1))
+
+    @property
+    def j(self) -> int:
+        return self.parent.shape[0]
+
+
+@struct.dataclass
+class IKChains:
+    """Padded CCD IK chain table. C chains x L max links."""
+
+    ik_bone: Array  # (C,) i32 bone that owns the chain (the IK handle)
+    target: Array  # (C,) i32 effector bone
+    loop_count: Array  # (C,) i32
+    limit_angle: Array  # (C,) f32
+    links: Array  # (C, L) i32, -1 padding; ordered closest-to-effector first
+    link_has_limit: Array  # (C, L) bool
+    link_limit_min: Array  # (C, L, 3)
+    link_limit_max: Array  # (C, L, 3)
+    max_loops: int = struct.field(pytree_node=False)
+    n_chains: int = struct.field(pytree_node=False)
+
+    @property
+    def c(self) -> int:
+        return self.ik_bone.shape[0]
+
+    @property
+    def l(self) -> int:
+        return self.links.shape[1]
+
+
+@struct.dataclass
+class Skinning:
+    joints: Array  # (V, 4) i32
+    weights: Array  # (V, 4) f32, already UNORM8-quantized /255 for parity
+    weights_dense: Array | None  # (V, J) compute dtype, or None (gather path)
+    sdef_c: Array | None  # (V, 3) or None
+    sdef_r0: Array | None
+    sdef_r1: Array | None
+    is_sdef: Array | None  # (V,) bool
+
+
+@struct.dataclass
+class Geometry:
+    positions: Array  # (V, 3)
+    normals: Array  # (V, 3)
+    uvs: Array  # (V, 2)
+    tris: Array  # (T, 3) i32, class-sorted, padded with degenerate (0,0,0)
+    tri_mat: Array  # (T,) i32 material id per triangle
+    outline_tris: Array  # (To, 3) i32, class-sorted outline subset
+    outline_tri_mat: Array  # (To,) i32
+    # static metadata
+    n_vertices: int = struct.field(pytree_node=False)
+    class_ranges: tuple = struct.field(pytree_node=False)  # ((start, count) x 4)
+    outline_class_ranges: tuple = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class Materials:
+    alpha: Array  # (M,) material diffuse alpha
+    diffuse_rgb: Array  # (M, 3)
+    edge_color: Array  # (M, 4)
+    edge_size: Array  # (M,)
+    tex_id: Array  # (M,) i32 index into atlas, -1 = white
+    toon_lut: Array  # (M, 256, 3) toon ramp sampled at v=0.5
+    is_eye: Array  # (M,) bool
+    is_hair: Array  # (M,) bool
+    is_transparent: Array  # (M,) bool
+
+
+@struct.dataclass
+class TextureAtlas:
+    texels: Array  # (N, H, W, 4) uint8 (padded to common size)
+    sizes: Array  # (N, 2) i32 (height, width) actual
+
+
+@struct.dataclass
+class Morphs:
+    """Vertex morphs flattened after group-morph expansion."""
+
+    offsets: Array  # (Nm, V, 3) f32 (dense; Nm padded >= 1)
+    n_morphs: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class PhysicsModel:
+    """Static rigid-body / joint tables. NB bodies, NJ joints (padded)."""
+
+    # bodies
+    bone_index: Array  # (NB,) i32, -1 none
+    shape: Array  # (NB,) i32 0 sphere / 1 box / 2 capsule
+    size: Array  # (NB, 3)
+    mass: Array  # (NB,) (0 for kinematic)
+    inv_mass: Array  # (NB,)
+    inv_inertia_local: Array  # (NB, 3) diagonal in body frame
+    linear_damping: Array  # (NB,)
+    angular_damping: Array  # (NB,)
+    restitution: Array  # (NB,)
+    friction: Array  # (NB,)
+    is_dynamic: Array  # (NB,) bool
+    no_contact: Array  # (NB,) bool (mask==0 or zero volume, physics.ts:261-267)
+    group: Array  # (NB,) i32
+    collision_mask: Array  # (NB,) i32 (bitmask over groups)
+    body_offset_pos: Array  # (NB, 3) bone-local body offset (translation)
+    body_offset_quat: Array  # (NB, 4) bone-local body offset (rotation)
+    valid: Array  # (NB,) bool
+    # joints (6-DOF springs)
+    joint_body_a: Array  # (NJ,) i32
+    joint_body_b: Array  # (NJ,) i32
+    joint_pos_a: Array  # (NJ, 3) frame origin in body-A local space
+    joint_quat_a: Array  # (NJ, 4)
+    joint_pos_b: Array  # (NJ, 3)
+    joint_quat_b: Array  # (NJ, 4)
+    joint_lin_min: Array  # (NJ, 3)
+    joint_lin_max: Array  # (NJ, 3)
+    joint_ang_min: Array  # (NJ, 3) normalized to [-pi, pi]
+    joint_ang_max: Array  # (NJ, 3)
+    joint_spring_lin: Array  # (NJ, 3) stiffness (0 = disabled, physics.ts:406-423)
+    joint_spring_ang: Array  # (NJ, 3) stiffness (always enabled)
+    joint_valid: Array  # (NJ,) bool
+    n_bodies: int = struct.field(pytree_node=False)
+    n_joints: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class AnimationTrack:
+    """Per-bone keyframe tables, padded to K keys. Bones with no track get a
+    single identity key. Times padded with +inf."""
+
+    times: Array  # (J, K) seconds, +inf padded
+    rotations: Array  # (J, K, 4)
+    positions: Array  # (J, K, 3)
+    interp: Array  # (J, K, 4, 4) Bezier (x1,y1,x2,y2) per channel [X,Y,Z,R]
+    n_keys: Array  # (J,) i32
+    has_track: Array  # (J,) bool — bone appears in the VMD
+    # morph tracks
+    morph_times: Array  # (Nm, Km)
+    morph_values: Array  # (Nm, Km)
+    morph_n_keys: Array  # (Nm,)
+    duration: float = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class Lights:
+    ambient: Array  # () f32
+    direction: Array  # (MAX_LIGHTS, 3) normalized
+    color: Array  # (MAX_LIGHTS, 3)
+    intensity: Array  # (MAX_LIGHTS,)
+    count: Array  # () i32
+
+
+@struct.dataclass
+class ModelArrays:
+    """Everything static about a loaded model, on device."""
+
+    skeleton: Skeleton
+    ik: IKChains
+    skinning: Skinning
+    geometry: Geometry
+    materials: Materials
+    atlas: TextureAtlas
+    morphs: Morphs
+    physics: PhysicsModel
+
+
+# ---------------------------------------------------------------------------
+# Dynamic state
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class TweenState:
+    """rotateBones easing state (model.ts:62-68). Times in seconds."""
+
+    active: Array  # (J,) bool
+    start_quat: Array  # (J, 4)
+    target_quat: Array  # (J, 4)
+    start_time: Array  # (J,)
+    duration: Array  # (J,) seconds
+
+
+@struct.dataclass
+class PhysicsState:
+    position: Array  # (NB, 3)
+    quat: Array  # (NB, 4)
+    lin_vel: Array  # (NB, 3)
+    ang_vel: Array  # (NB, 3)
+    initialized: Array  # () bool — first-frame init done (physics.ts:542-561)
+    time_accum: Array  # () f32 — fixed-step accumulator
+
+
+@struct.dataclass
+class SceneState:
+    """The complete dynamic state of one character. vmap over leading axis
+    for crowds."""
+
+    time: Array  # () seconds
+    local_rot: Array  # (J, 4)
+    local_trans: Array  # (J, 3) (additional translation on top of bind)
+    morph_weights: Array  # (Nm,)
+    tween: TweenState
+    physics: PhysicsState
+    # animation playback
+    playing: Array  # () bool
+    play_t0: Array  # () clip-local start time offset
+
+
+def init_scene_state(model: ModelArrays) -> SceneState:
+    j = model.skeleton.j
+    nm = model.morphs.offsets.shape[0]
+    nb = model.physics.bone_index.shape[0]
+    quat0 = jnp.zeros((j, 4)).at[:, 3].set(1.0)
+    body_quat0 = jnp.zeros((nb, 4)).at[:, 3].set(1.0)
+    return SceneState(
+        time=jnp.float32(0.0),
+        local_rot=quat0,
+        local_trans=jnp.zeros((j, 3)),
+        morph_weights=jnp.zeros((nm,)),
+        tween=TweenState(
+            active=jnp.zeros((j,), bool),
+            start_quat=quat0,
+            target_quat=quat0,
+            start_time=jnp.zeros((j,)),
+            duration=jnp.ones((j,)),
+        ),
+        physics=PhysicsState(
+            position=jnp.zeros((nb, 3)),
+            quat=body_quat0,
+            lin_vel=jnp.zeros((nb, 3)),
+            ang_vel=jnp.zeros((nb, 3)),
+            initialized=jnp.array(False),
+            time_accum=jnp.float32(0.0),
+        ),
+        playing=jnp.array(False),
+        play_t0=jnp.float32(0.0),
+    )
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
