@@ -1,0 +1,110 @@
+"""Benchmark: step+render FPS on one chip for the reference workload.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+Baseline target (BASELINE.json): >= 240 step+render FPS for the ~20k-vertex
+PMX reference model at 1080p on one TPU v5e chip. The measured loop is the
+FULL pipeline — VMD sampling, FK, IK, physics (257 bodies / 406 joints),
+skinning, rasterization with MSAA, toon shading, bloom — iterated entirely
+on-device via lax.scan (zero host round-trips, matching the engine design).
+
+Env knobs: BENCH_WIDTH/BENCH_HEIGHT (default 1920x1080), BENCH_FRAMES,
+BENCH_REPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+WIDTH = int(os.environ.get("BENCH_WIDTH", 1920))
+HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1080))
+FRAMES = int(os.environ.get("BENCH_FRAMES", 20))
+REPS = int(os.environ.get("BENCH_REPS", 3))
+BASELINE_FPS = 240.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from reze_tpu.camera import Camera
+    from reze_tpu.core.build import load_model
+    from reze_tpu.core.types import EngineConfig, init_scene_state
+    from reze_tpu.anim import sampler
+    from reze_tpu.formats.vmd import load_vmd
+    from reze_tpu.render import pipeline
+    from reze_tpu.step import make_step
+
+    cfg = EngineConfig(
+        width=WIDTH, height=HEIGHT, ambient=1.0, bloom_intensity=0.13,
+        rim_light_intensity=0.35, camera_distance=13.5,
+        camera_target=(0.0, 17.1, 0.0),
+        max_tris_per_bin=int(os.environ.get("BENCH_BIN_CAP", 1024)),
+    )
+    built = load_model("/root/reference/web/public/models/塞尔凯特2/塞尔凯特2.pmx", cfg)
+    model = built.arrays
+    dims = pipeline.make_dims(cfg)
+    lights = pipeline.make_lights(cfg)
+    motion = load_vmd("/root/reference/web/public/animations/pool.vmd")
+    track = jax.device_put(
+        sampler.build_animation(
+            motion, built.bone_name_to_id, built.morph_name_to_id,
+            model.skeleton.j, model.morphs.offsets.shape[0],
+        )
+    )
+    j = model.skeleton.j
+    breath = {
+        "mask": jnp.zeros(j, bool), "ranges": jnp.zeros(j),
+        "base": jnp.zeros((j, 4)).at[:, 3].set(1.0),
+        "half_cycle": jnp.float32(2.5), "start": jnp.float32(track.duration + 0.2),
+    }
+    cam = Camera(radius=cfg.camera_distance, target=cfg.camera_target, aspect=WIDTH / HEIGHT)
+    vp, eye = cam.view_proj(), cam.position()
+    step = make_step(model, cfg, dims)
+    state = init_scene_state(model).replace(playing=jnp.array(True))
+
+    dt = jnp.float32(1.0 / 60.0)
+
+    def run_n(state, n_frames):
+        def body(carry, _):
+            s, _ = carry
+            s2, frame = step(s, dt, vp, eye, lights, track, breath)
+            return (s2, frame), None
+
+        (s, frame), _ = jax.lax.scan(
+            body, (state, jnp.zeros((HEIGHT, WIDTH, 3))), None, length=n_frames
+        )
+        return s, frame
+
+    run = jax.jit(run_n, static_argnums=(1,), donate_argnums=(0,))
+
+    t0 = time.time()
+    state, frame = run(state, 2)  # warm up / compile
+    jax.block_until_ready(frame)
+    compile_s = time.time() - t0
+
+    best = 0.0
+    for _ in range(REPS):
+        t0 = time.time()
+        state, frame = run(state, FRAMES)
+        jax.block_until_ready(frame)
+        fps = FRAMES / (time.time() - t0)
+        best = max(best, fps)
+
+    result = {
+        "metric": f"step+render frames/sec/chip ({WIDTH}x{HEIGHT}, 28.8k-vert PMX, physics+IK+MSAA+bloom)",
+        "value": round(best, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(best / BASELINE_FPS, 4),
+    }
+    print(json.dumps(result))
+    print(f"# compile: {compile_s:.1f}s, device: {jax.devices()[0]}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

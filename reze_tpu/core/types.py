@@ -314,17 +314,20 @@ def init_scene_state(model: ModelArrays) -> SceneState:
     j = model.skeleton.j
     nm = model.morphs.offsets.shape[0]
     nb = model.physics.bone_index.shape[0]
-    quat0 = jnp.zeros((j, 4)).at[:, 3].set(1.0)
-    body_quat0 = jnp.zeros((nb, 4)).at[:, 3].set(1.0)
+    def quat0(n):
+        # distinct buffers per field — donation requires unaliased leaves
+        return jnp.zeros((n, 4)).at[:, 3].set(1.0)
+
+    body_quat0 = quat0(nb)
     return SceneState(
         time=jnp.float32(0.0),
-        local_rot=quat0,
+        local_rot=quat0(j),
         local_trans=jnp.zeros((j, 3)),
         morph_weights=jnp.zeros((nm,)),
         tween=TweenState(
             active=jnp.zeros((j,), bool),
-            start_quat=quat0,
-            target_quat=quat0,
+            start_quat=quat0(j),
+            target_quat=quat0(j),
             start_time=jnp.zeros((j,)),
             duration=jnp.ones((j,)),
         ),

@@ -1,0 +1,77 @@
+"""Multi-chip execution: crowds of characters sharded over a device mesh.
+
+The reference is single-GPU with no distribution story (SURVEY.md section
+2.3); here batching over characters is first-class and the batch axis is
+sharded over ICI via ``jax.sharding.NamedSharding`` — steady-state simulation
+is embarrassingly parallel across characters (model assets are replicated,
+per-character state and cameras are sharded), so XLA inserts no collectives
+in the hot loop; gathering the rendered frames is the only cross-chip
+movement, done lazily by the caller.
+
+The mesh uses two axes: ``data`` (characters) and ``tile`` (reserved for
+intra-frame tile parallelism of very large framebuffers). The default layout
+puts all devices on ``data``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .core.types import EngineConfig, ModelArrays, init_scene_state
+from .step import make_step
+
+
+def make_mesh(n_devices: int | None = None, tile_parallel: int = 1) -> Mesh:
+    devices = np.asarray(jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    data = len(devices) // tile_parallel
+    return Mesh(devices.reshape(data, tile_parallel), ("data", "tile"))
+
+
+def batch_state(model: ModelArrays, batch: int):
+    """Stacked initial SceneState with leading character axis."""
+    single = init_scene_state(model)
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), single)
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place a leading-axis-batched pytree with the batch sharded on 'data'."""
+    def put(x):
+        spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+def make_batched_step(
+    model: ModelArrays,
+    cfg: EngineConfig,
+    dims,
+    mesh: Mesh,
+    per_character_clips: bool = False,
+):
+    """jit-compiled crowd step: (states, dt, view_projs, eyes, lights, track,
+    breath) -> (states', frames (B, H, W, 3)), batch sharded over 'data'.
+
+    ``lights``/``breath`` are shared (replicated). With
+    ``per_character_clips=True`` the AnimationTrack is expected stacked with
+    a leading character axis (independent VMD clips, BASELINE config #5);
+    otherwise one clip is shared by the whole crowd.
+    """
+    single = make_step(model, cfg, dims)
+    track_axes = 0 if per_character_clips else None
+
+    def batched(states, dt, view_projs, eyes, lights, track, breath):
+        return jax.vmap(
+            single, in_axes=(0, None, 0, 0, None, track_axes, None)
+        )(states, dt, view_projs, eyes, lights, track, breath)
+
+    return jax.jit(batched, donate_argnums=(0,))
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, NamedSharding(mesh, P()))

@@ -1,0 +1,337 @@
+"""The Engine: public API mirroring the reference (engine.ts:35-2527).
+
+``init`` / ``loadModel`` / ``loadAnimation`` / ``playAnimation`` /
+``rotateBones`` / ``render`` / ``runRenderLoop`` / ``getStats`` / ``dispose``
+— snake_case with camelCase aliases.
+
+Architecture: all per-frame work — animation sampling, tween easing, FK,
+physics, skinning, rasterization, shading, bloom — is ONE jitted pure
+function ``_step(state, ...) -> (state', frame)`` with zero host round trips
+(replacing the reference's per-frame writeBuffer uploads at
+engine.ts:2375-2402 and wall-clock setTimeout scheduler at
+engine.ts:1425-1591).
+"""
+
+from __future__ import annotations
+
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .anim import sampler, tween
+from .camera import Camera
+from .core.build import BuiltModel, load_model as _load_model
+from .core.types import (
+    AnimationTrack,
+    EngineConfig,
+    SceneState,
+    init_scene_state,
+)
+from .render import pipeline
+
+
+class EngineStats:
+    """fps / frameTime(ms) / gpuMemory(MB) — parity with engine.ts:16-20."""
+
+    def __init__(self, fps: float = 0.0, frame_time: float = 0.0, gpu_memory: float = 0.0):
+        self.fps = fps
+        self.frame_time = frame_time
+        self.gpu_memory = gpu_memory
+
+    # camelCase views
+    @property
+    def frameTime(self):  # noqa: N802
+        return self.frame_time
+
+    @property
+    def gpuMemory(self):  # noqa: N802
+        return self.gpu_memory
+
+    def __repr__(self):
+        return f"EngineStats(fps={self.fps}, frame_time={self.frame_time}, gpu_memory={self.gpu_memory})"
+
+
+class Engine:
+    def __init__(self, config: EngineConfig | None = None):
+        self.config = config or EngineConfig()
+        self.camera: Camera | None = None
+        self.model: BuiltModel | None = None
+        self.state: SceneState | None = None
+        self._track: AnimationTrack | None = None
+        self._has_animation = False
+        self._playing = False
+        self._step_fn = None
+        self._dims = None
+        self._lights = None
+        # breathing config (device arrays swapped by playAnimation)
+        self._breath = None
+        # stats (engine.ts:2423-2445)
+        self._frame_times: list[float] = []
+        self._frames_since = 0
+        self._last_fps_update = _time.perf_counter()
+        self._last_frame_time = None
+        self._stats = EngineStats()
+        self._gpu_memory_mb = 0.0
+
+    # ------------------------------------------------------------------
+    # Lifecycle
+    # ------------------------------------------------------------------
+
+    def init(self) -> "Engine":
+        cfg = self.config
+        self.camera = Camera(
+            alpha=cfg.camera_alpha,
+            beta=cfg.camera_beta,
+            radius=cfg.camera_distance,
+            target=cfg.camera_target,
+            fov=cfg.camera_fov,
+            aspect=cfg.width / cfg.height,
+            near=cfg.camera_near,
+            far=cfg.camera_far,
+        )
+        self._lights = pipeline.make_lights(cfg)
+        self._dims = pipeline.make_dims(cfg)
+        return self
+
+    def load_model(self, path: str) -> "Engine":
+        if self.camera is None:
+            self.init()
+        self.model = _load_model(path, self.config)
+        self.state = init_scene_state(self.model.arrays)
+        m = self.model.arrays
+        j = m.skeleton.j
+        nm = m.morphs.offsets.shape[0]
+        self._track = jax.device_put(sampler.empty_animation(j, nm))
+        self._breath = {
+            "mask": jnp.zeros(j, bool),
+            "ranges": jnp.zeros(j),
+            "base": jnp.zeros((j, 4)).at[:, 3].set(1.0),
+            "half_cycle": jnp.float32(2.0),
+            "start": jnp.float32(jnp.inf),
+        }
+        self._build_step()
+        self._gpu_memory_mb = self._estimate_gpu_memory()
+        return self
+
+    def load_animation(self, path: str) -> "Engine":
+        assert self.model is not None, "load a model first"
+        from .formats.vmd import load_vmd
+
+        motion = load_vmd(path)
+        self._motion = motion
+        m = self.model.arrays
+        self._track = jax.device_put(
+            sampler.build_animation(
+                motion,
+                self.model.bone_name_to_id,
+                self.model.morph_name_to_id,
+                m.skeleton.j,
+                m.morphs.offsets.shape[0],
+            )
+        )
+        self._has_animation = True
+        return self
+
+    def dispose(self) -> None:
+        self.model = None
+        self.state = None
+        self._step_fn = None
+
+    # ------------------------------------------------------------------
+    # Animation control
+    # ------------------------------------------------------------------
+
+    def play_animation(
+        self,
+        breath_bones: dict[str, float] | list[str] | None = None,
+        breath_duration: float = 4000.0,
+    ) -> None:
+        """Start playback (engine.ts:1425-1591). ``breath_duration`` in ms."""
+        if self._track is None or not self._has_animation:
+            return
+        self._playing = True
+        st = self.state
+        j = self.model.arrays.skeleton.j
+
+        # breathing setup (engine.ts:1556-1590)
+        if breath_bones:
+            if isinstance(breath_bones, dict):
+                names = list(breath_bones.keys())
+                ranges_map = breath_bones
+            else:
+                names = list(breath_bones)
+                ranges_map = {}
+            mask = np.zeros(j, bool)
+            ranges = np.zeros(j, np.float32)
+            base = np.zeros((j, 4), np.float32)
+            base[:, 3] = 1.0
+            track = jax.device_get(self._track)
+            for n in names:
+                bid = self.model.bone_name_to_id.get(n)
+                if bid is None:
+                    continue
+                mask[bid] = True
+                ranges[bid] = ranges_map.get(n, 0.02)
+                if track.has_track[bid]:
+                    base[bid] = track.rotations[bid, max(track.n_keys[bid] - 1, 0)]
+            self._breath = {
+                "mask": jnp.asarray(mask),
+                "ranges": jnp.asarray(ranges),
+                "base": jnp.asarray(base),
+                "half_cycle": jnp.float32(breath_duration / 2000.0),
+                "start": jnp.float32(self._track.duration + 0.2),
+            }
+        else:
+            self._breath["start"] = jnp.float32(jnp.inf)
+
+        # t=0 snap + unkeyed-bone identity reset + physics reset
+        # (engine.ts:1474-1525) all follow from pure time-sampling + the
+        # physics reset below.
+        self.state = st.replace(
+            playing=jnp.array(True),
+            play_t0=st.time + 0.0,  # fresh buffer: donation forbids aliases
+            physics=st.physics.replace(initialized=jnp.array(False)),
+        )
+
+    def stop_animation(self) -> None:
+        self._playing = False
+        if self.state is not None:
+            self.state = self.state.replace(playing=jnp.array(False))
+
+    def rotate_bones(self, names, rotations, duration_ms: float | None = None) -> None:
+        """rotateBones (engine.ts:1723-1725 -> model.ts:246-315).
+
+        ``rotations``: (N, 4) array-likes of quaternion [x, y, z, w].
+        """
+        if self.model is None or self.state is None:
+            return
+        j = self.model.arrays.skeleton.j
+        mask = np.zeros(j, bool)
+        targets = np.zeros((j, 4), np.float32)
+        targets[:, 3] = 1.0
+        for name, q in zip(names, rotations):
+            bid = self.model.bone_name_to_id.get(name)
+            if bid is None:
+                continue
+            mask[bid] = True
+            targets[bid] = np.asarray(q, np.float32)
+        dur = jnp.float32((duration_ms or 0.0) / 1000.0)
+        new_tween, new_rot = tween.start_tweens(
+            self.state.tween,
+            self.state.local_rot,
+            self.state.time,
+            jnp.asarray(mask),
+            jnp.asarray(targets),
+            dur,
+        )
+        self.state = self.state.replace(tween=new_tween, local_rot=new_rot)
+
+    def set_morph(self, name: str, weight: float) -> None:
+        mid = self.model.morph_name_to_id.get(name)
+        if mid is not None:
+            self.state = self.state.replace(
+                morph_weights=self.state.morph_weights.at[mid].set(weight)
+            )
+
+    def get_bone_names(self) -> list[str]:
+        return list(self.model.bone_names)
+
+    # ------------------------------------------------------------------
+    # The jitted step
+    # ------------------------------------------------------------------
+
+    def _build_step(self):
+        from .step import make_step
+
+        step = make_step(self.model.arrays, self.config, self._dims)
+        self._step_fn = jax.jit(step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # Rendering
+    # ------------------------------------------------------------------
+
+    def render(self, dt: float | None = None) -> np.ndarray:
+        """Advance one frame and return (H, W, 3) uint8.
+
+        ``dt`` defaults to wall-clock delta like the reference render loop
+        (engine.ts:2126-2128); pass an explicit value for determinism.
+        """
+        assert self._step_fn is not None, "no model loaded"
+        now = _time.perf_counter()
+        if dt is None:
+            dt = (now - self._last_frame_time) if self._last_frame_time else 1.0 / 60.0
+        self._last_frame_time = now
+
+        self.state, frame = self._step_fn(
+            self.state,
+            jnp.float32(dt),
+            self.camera.view_proj(),
+            self.camera.position(),
+            self._lights,
+            self._track,
+            self._breath,
+        )
+        # A-pose-flash guard: animation loaded but not yet playing -> black
+        # (engine.ts:2140-2144)
+        if self._has_animation and not self._playing:
+            frame = jnp.zeros_like(frame)
+        out = np.asarray(
+            jnp.round(jnp.clip(frame, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        )
+        self._update_stats((_time.perf_counter() - now) * 1000.0)
+        return out
+
+    def run_render_loop(self, n_frames: int, callback=None, dt: float | None = None):
+        """Headless equivalent of runRenderLoop (engine.ts:1668-1682)."""
+        frames = []
+        for _ in range(n_frames):
+            frames.append(self.render(dt))
+            if callback is not None:
+                callback()
+        return frames
+
+    # ------------------------------------------------------------------
+    # Stats (engine.ts:2423-2526)
+    # ------------------------------------------------------------------
+
+    def _update_stats(self, frame_ms: float):
+        self._frame_times.append(frame_ms)
+        if len(self._frame_times) > 60:
+            self._frame_times.pop(0)
+        self._stats.frame_time = round(sum(self._frame_times) / len(self._frame_times), 2)
+        self._frames_since += 1
+        now = _time.perf_counter()
+        elapsed = now - self._last_fps_update
+        if elapsed >= 1.0:
+            self._stats.fps = round(self._frames_since / elapsed)
+            self._frames_since = 0
+            self._last_fps_update = now
+        self._stats.gpu_memory = self._gpu_memory_mb
+
+    def _estimate_gpu_memory(self) -> float:
+        """Analytic HBM estimate, parity with calculateGpuMemory
+        (engine.ts:2447-2526) extended to our actual buffers."""
+        total = 0
+        for leaf in jax.tree.leaves(self.model.arrays):
+            total += leaf.size * leaf.dtype.itemsize
+        d = self._dims
+        s = self.config.msaa_samples
+        total += d.p * 3 * 4  # color
+        total += d.b * s * d.tile * d.tile * 4  # zbuf
+        total += d.p * 4  # stencil
+        return round(total / 1024 / 1024 * 100) / 100
+
+    def get_stats(self) -> EngineStats:
+        return EngineStats(self._stats.fps, self._stats.frame_time, self._stats.gpu_memory)
+
+    # camelCase API parity with the reference ---------------------------
+    loadModel = load_model
+    loadAnimation = load_animation
+    playAnimation = play_animation
+    stopAnimation = stop_animation
+    rotateBones = rotate_bones
+    runRenderLoop = run_render_loop
+    getStats = get_stats
+    getBoneNames = get_bone_names

@@ -1,0 +1,486 @@
+"""Fixed-timestep rigid-body physics: MMD hair/skirt dynamics on TPU.
+
+Replaces Bullet-via-WASM (physics.ts:53-752) with a jit-compiled solver over
+``(NB,)`` body arrays. Reference semantics kept exactly:
+
+* step cadence: ``stepSimulation(dt, maxSubSteps=10, fixed=1/75)``
+  (physics.ts:705-712) — a time accumulator runs up to 10 fixed substeps.
+* first-frame init: bodies positioned from current bone pose with zero
+  velocities before constraints act (physics.ts:542-561).
+* per-frame sync: kinematic/static bodies follow bones with zeroed
+  velocities (physics.ts:649-702); dynamic bodies write their transform back
+  into bone world transforms (physics.ts:715-751) with the same
+  NaN/magnitude guard.
+* collision filtering: ``(1 << groupA) & maskB`` both ways, no-contact flags
+  for mask==0 / zero-volume shapes (physics.ts:257-267).
+* damping: Bullet's ``v *= (1 - damping)^h``.
+
+The constraint solver itself is **XPBD** (substep position-based dynamics,
+Mueller et al.) rather than Bullet's sequential impulse: 6-DOF joints become
+positional/angular constraints whose per-axis rule mirrors the reference
+setup (physics.ts:383-431): min==max -> hard lock, else limit range; linear
+springs only when stiffness != 0, angular springs always, with compliance
+1/(k*h^2); constraint ordering uses a greedy graph coloring computed at load
+so same-color joints solve in parallel (Gauss-Seidel quality, TPU-parallel
+execution). Contacts (sphere/capsule/box combinations) solve Jacobi with
+under-relaxation. Parity with Bullet is tolerance-based, matching the survey
+plan (SURVEY.md section 7.3).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import math3d as m3
+from ..core.types import EngineConfig, PhysicsModel, PhysicsState
+
+Array = jax.Array
+
+_CONTACT_RELAX = 0.6  # Jacobi under-relaxation for contacts
+_MAX_COLORS = 16
+
+
+# ---------------------------------------------------------------------------
+# Build-time helpers (host)
+# ---------------------------------------------------------------------------
+
+
+def color_joints(pm: PhysicsModel) -> np.ndarray:
+    """Greedy graph coloring: joints sharing a *dynamic* body get different
+    colors so each color class solves Gauss-Seidel-exactly in parallel."""
+    nj = pm.joint_body_a.shape[0]
+    a = np.asarray(pm.joint_body_a)
+    b = np.asarray(pm.joint_body_b)
+    valid = np.asarray(pm.joint_valid)
+    dyn = np.asarray(pm.is_dynamic)
+    colors = np.zeros(nj, np.int32)
+    used_by_body: dict[int, set[int]] = {}
+    for j in range(nj):
+        if not valid[j]:
+            continue
+        taken = set()
+        for body in (a[j], b[j]):
+            if body >= 0 and dyn[body]:
+                taken |= used_by_body.get(int(body), set())
+        c = 0
+        while c in taken and c < _MAX_COLORS - 1:
+            c += 1
+        colors[j] = c
+        for body in (a[j], b[j]):
+            if body >= 0 and dyn[body]:
+                used_by_body.setdefault(int(body), set()).add(c)
+    return colors
+
+
+def build_pairs(pm: PhysicsModel) -> tuple[np.ndarray, np.ndarray]:
+    """Static candidate collision pairs (i, j) honoring group masks,
+    no-contact flags, and at-least-one-dynamic."""
+    nb = pm.bone_index.shape[0]
+    group = np.asarray(pm.group)
+    mask = np.asarray(pm.collision_mask)
+    valid = np.asarray(pm.valid)
+    dyn = np.asarray(pm.is_dynamic)
+    noc = np.asarray(pm.no_contact)
+    pairs = []
+    for i in range(nb):
+        if not valid[i] or noc[i]:
+            continue
+        for j in range(i + 1, nb):
+            if not valid[j] or noc[j]:
+                continue
+            if not (dyn[i] or dyn[j]):
+                continue
+            if not ((1 << group[i]) & mask[j]) or not ((1 << group[j]) & mask[i]):
+                continue
+            pairs.append((i, j))
+    if not pairs:
+        pairs = [(0, 0)]
+    arr = np.asarray(pairs, np.int32)
+    return arr[:, 0], arr[:, 1]
+
+
+class SolverTables(NamedTuple):
+    """Host-precomputed static solver data."""
+
+    joint_colors: Array  # (NJ,)
+    n_colors: int
+    pair_i: Array  # (P,)
+    pair_j: Array  # (P,)
+
+
+_TABLE_CACHE: dict[int, SolverTables] = {}
+
+
+def get_tables(pm: PhysicsModel) -> SolverTables:
+    key = id(pm.joint_body_a)
+    if key not in _TABLE_CACHE:
+        colors = color_joints(pm)
+        pi, pj = build_pairs(pm)
+        # keep plain NumPy: these become fresh constants in every trace (jnp
+        # arrays created inside one trace would leak into the next)
+        _TABLE_CACHE[key] = SolverTables(
+            joint_colors=colors,
+            n_colors=int(colors.max()) + 1 if colors.size else 1,
+            pair_i=pi,
+            pair_j=pj,
+        )
+    return _TABLE_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Geometry: closest points between shapes
+# ---------------------------------------------------------------------------
+
+
+def _shape_segment(pm: PhysicsModel, pos: Array, quat: Array) -> tuple[Array, Array, Array]:
+    """Represent each body as a capsule segment + radius.
+
+    sphere: zero-length segment, r = size.x
+    capsule (Y axis): half-height size.y/2, r = size.x
+    box: approximated as a segment along its longest axis with the
+    second-longest half-extent as radius (contact-only approximation).
+    """
+    size = pm.size
+    shape = pm.shape
+    axis_y = m3.quat_rotate(quat, jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), pos.shape))
+
+    # capsule
+    cap_half = size[:, 1:2] * 0.5
+    cap_r = size[:, 0]
+
+    # box: longest axis
+    ax_id = jnp.argmax(size, axis=1)
+    basis = jnp.eye(3)
+    long_axis_local = basis[ax_id]
+    long_axis = m3.quat_rotate(quat, long_axis_local)
+    sorted_sz = jnp.sort(size, axis=1)
+    box_half = (sorted_sz[:, 2:3] - sorted_sz[:, 1:2]) .clip(0.0)
+    box_r = sorted_sz[:, 1] * 1.0
+
+    half_vec = jnp.where(
+        (shape == 2)[:, None], axis_y * cap_half,
+        jnp.where((shape == 1)[:, None], long_axis * box_half, 0.0),
+    )
+    radius = jnp.where(shape == 2, cap_r, jnp.where(shape == 1, box_r, size[:, 0]))
+    return pos - half_vec, pos + half_vec, radius
+
+
+def _closest_segment_segment(p1, q1, p2, q2):
+    """Closest points between segments [p1,q1] and [p2,q2] (batched)."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.sum(d1 * d1, -1)
+    e = jnp.sum(d2 * d2, -1)
+    f = jnp.sum(d2 * r, -1)
+    c = jnp.sum(d1 * r, -1)
+    b = jnp.sum(d1 * d2, -1)
+    denom = a * e - b * b
+    s = jnp.where(denom > 1e-12, jnp.clip((b * f - c * e) / jnp.maximum(denom, 1e-12), 0, 1), 0.0)
+    t = jnp.where(e > 1e-12, jnp.clip((b * s + f) / jnp.maximum(e, 1e-12), 0, 1), 0.0)
+    # re-clamp s for the clamped t
+    s = jnp.where(a > 1e-12, jnp.clip((b * t - c) / jnp.maximum(a, 1e-12), 0, 1), 0.0)
+    c1 = p1 + d1 * s[..., None]
+    c2 = p2 + d2 * t[..., None]
+    return c1, c2
+
+
+# ---------------------------------------------------------------------------
+# XPBD core
+# ---------------------------------------------------------------------------
+
+
+def _apply_pos_correction(pos, quat, inv_mass, inv_inertia_w, body, corr, point):
+    """Apply positional impulse `corr` at world `point` to a body (gathered
+    indices). Returns (dpos, drot_vec) contributions."""
+    dp = corr * inv_mass[body][:, None]
+    r = point - pos[body]
+    torque = jnp.cross(r, corr)
+    dw = jnp.einsum("bij,bj->bi", inv_inertia_w[body], torque)
+    return dp, dw
+
+
+def _inv_inertia_world(pm: PhysicsModel, quat: Array) -> Array:
+    r = m3.mat3_from_quat(quat)  # (NB, 3, 3)
+    return jnp.einsum("bij,bj,bkj->bik", r, pm.inv_inertia_local, r)
+
+
+def _quat_add_rot(quat: Array, dw: Array) -> Array:
+    """q += 0.5 * [dw, 0] * q, renormalized."""
+    dq = m3.quat_mul(jnp.concatenate([dw, jnp.zeros_like(dw[..., :1])], -1), quat)
+    return m3.quat_normalize(quat + 0.5 * dq)
+
+
+def _solve_joints_color(
+    pm: PhysicsModel,
+    tables: SolverTables,
+    color: Array,
+    h: Array,
+    pos: Array,
+    quat: Array,
+    inv_mass: Array,
+) -> tuple[Array, Array]:
+    """Solve all joints of one color in parallel (they touch disjoint
+    dynamic bodies, so scatter-add is exact Gauss-Seidel)."""
+    sel = (tables.joint_colors == color) & pm.joint_valid
+    a = jnp.maximum(pm.joint_body_a, 0)
+    b = jnp.maximum(pm.joint_body_b, 0)
+    inv_inertia_w = _inv_inertia_world(pm, quat)
+
+    # world joint frames
+    pa = pos[a] + m3.quat_rotate(quat[a], pm.joint_pos_a)
+    pb = pos[b] + m3.quat_rotate(quat[b], pm.joint_pos_b)
+    qa = m3.quat_mul(quat[a], pm.joint_quat_a)
+    qb = m3.quat_mul(quat[b], pm.joint_quat_b)
+
+    wa = inv_mass[a]
+    wb = inv_mass[b]
+
+    dpos = jnp.zeros_like(pos)
+    dq_acc = jnp.zeros_like(pos)  # rotation vectors
+
+    # ---- linear: constrain d (in frame A basis) into [min, max], plus
+    # spring toward 0 when stiffness != 0
+    frame_a_rot = m3.mat3_from_quat(qa)  # column k = world direction of axis k
+    d_world = pb - pa
+    axes = jnp.swapaxes(frame_a_rot, -1, -2)  # (NJ, 3axes, 3world)
+    d_axes = jnp.einsum("bkw,bw->bk", axes, d_world)
+
+    lo = pm.joint_lin_min
+    hi = pm.joint_lin_max
+    # hard violation outside [lo, hi]
+    viol = jnp.where(d_axes < lo, d_axes - lo, jnp.where(d_axes > hi, d_axes - hi, 0.0))
+    # spring toward 0 with compliance 1/(k h^2) — fold into a softened target
+    k_lin = pm.joint_spring_lin
+    alpha = jnp.where(k_lin > 0, 1.0 / jnp.maximum(k_lin, 1e-6), 0.0) / jnp.maximum(h * h, 1e-12)
+    spring_c = jnp.where(k_lin > 0, d_axes, 0.0)
+
+    for axis_k in range(3):
+        n = axes[:, axis_k]  # (NJ, 3)
+        for c_val, compliance in ((viol[:, axis_k], jnp.zeros_like(h)), (spring_c[:, axis_k], alpha[:, axis_k])):
+            ra = pa - pos[a]
+            rb = pb - pos[b]
+            ra_x_n = jnp.cross(ra, n)
+            rb_x_n = jnp.cross(rb, n)
+            w_sum = (
+                wa + wb
+                + jnp.einsum("bi,bij,bj->b", ra_x_n, inv_inertia_w[a], ra_x_n)
+                + jnp.einsum("bi,bij,bj->b", rb_x_n, inv_inertia_w[b], rb_x_n)
+            )
+            dlam = -c_val / jnp.maximum(w_sum + compliance, 1e-9)
+            dlam = jnp.where(sel & (w_sum > 0), dlam, 0.0)
+            p_imp = n * dlam[:, None]
+            # B moves +, A moves - (c = d·n, d = pb - pa)
+            dpos = dpos.at[b].add(p_imp * wb[:, None])
+            dpos = dpos.at[a].add(-p_imp * wa[:, None])
+            dq_acc = dq_acc.at[b].add(
+                jnp.einsum("bij,bj->bi", inv_inertia_w[b], jnp.cross(rb, p_imp))
+            )
+            dq_acc = dq_acc.at[a].add(
+                -jnp.einsum("bij,bj->bi", inv_inertia_w[a], jnp.cross(ra, p_imp))
+            )
+
+    # ---- angular: relative rotation euler (ZXY) per-axis limits + springs
+    q_rel = m3.quat_mul(m3.quat_conj(qa), qb)
+    e = m3.quat_to_euler_zxy(q_rel)  # (NJ, 3)
+    alo = pm.joint_ang_min
+    ahi = pm.joint_ang_max
+    aviol = jnp.where(e < alo, e - alo, jnp.where(e > ahi, e - ahi, 0.0))
+    k_ang = pm.joint_spring_ang
+    a_alpha = jnp.where(k_ang > 0, 1.0 / jnp.maximum(k_ang, 1e-6), 0.0) / jnp.maximum(h * h, 1e-12)
+    a_spring = jnp.where(k_ang > 0, e, 0.0)
+
+    for axis_k in range(3):
+        n = axes[:, axis_k]
+        for c_val, compliance in ((aviol[:, axis_k], jnp.zeros_like(h)), (a_spring[:, axis_k], a_alpha[:, axis_k])):
+            w_sum = (
+                jnp.einsum("bi,bij,bj->b", n, inv_inertia_w[a], n)
+                + jnp.einsum("bi,bij,bj->b", n, inv_inertia_w[b], n)
+            )
+            dlam = -c_val / jnp.maximum(w_sum + compliance, 1e-9)
+            dlam = jnp.where(sel & (w_sum > 0), dlam, 0.0)
+            t_imp = n * dlam[:, None]
+            dq_acc = dq_acc.at[b].add(jnp.einsum("bij,bj->bi", inv_inertia_w[b], t_imp))
+            dq_acc = dq_acc.at[a].add(-jnp.einsum("bij,bj->bi", inv_inertia_w[a], t_imp))
+
+    pos = pos + dpos
+    quat = _quat_add_rot(quat, dq_acc)
+    return pos, quat
+
+
+def _solve_contacts(
+    pm: PhysicsModel,
+    tables: SolverTables,
+    pos: Array,
+    quat: Array,
+    inv_mass: Array,
+) -> tuple[Array, Array]:
+    """One Jacobi iteration of non-penetration contacts (under-relaxed)."""
+    i = tables.pair_i
+    j = tables.pair_j
+    a0, a1, ra = _shape_segment(pm, pos, quat)
+    c1, c2 = _closest_segment_segment(a0[i], a1[i], a0[j], a1[j])
+    delta = c2 - c1
+    dist = jnp.linalg.norm(delta, axis=-1)
+    rsum = ra[i] + ra[j]
+    pen = rsum - dist  # > 0 means penetration
+    n = delta / jnp.maximum(dist, 1e-8)[:, None]
+    active = pen > 0.0
+
+    inv_inertia_w = _inv_inertia_world(pm, quat)
+    wi = inv_mass[i]
+    wj = inv_mass[j]
+    pi_ = c1 + n * ra[i][:, None]
+    pj_ = c2 - n * ra[j][:, None]
+    ri = pi_ - pos[i]
+    rj = pj_ - pos[j]
+    ri_x_n = jnp.cross(ri, n)
+    rj_x_n = jnp.cross(rj, n)
+    w_sum = (
+        wi + wj
+        + jnp.einsum("bi,bij,bj->b", ri_x_n, inv_inertia_w[i], ri_x_n)
+        + jnp.einsum("bi,bij,bj->b", rj_x_n, inv_inertia_w[j], rj_x_n)
+    )
+    dlam = jnp.where(active & (w_sum > 0), pen / jnp.maximum(w_sum, 1e-9), 0.0)
+    dlam = dlam * _CONTACT_RELAX
+    imp = -n * dlam[:, None]  # push i along -n, j along +n
+
+    dpos = jnp.zeros_like(pos)
+    dpos = dpos.at[i].add(imp * wi[:, None])
+    dpos = dpos.at[j].add(-imp * wj[:, None])
+    drot = jnp.zeros_like(pos)
+    drot = drot.at[i].add(jnp.einsum("bij,bj->bi", inv_inertia_w[i], jnp.cross(ri, imp)))
+    drot = drot.at[j].add(-jnp.einsum("bij,bj->bi", inv_inertia_w[j], jnp.cross(rj, imp)))
+    return pos + dpos, _quat_add_rot(quat, drot)
+
+
+# ---------------------------------------------------------------------------
+# Full step
+# ---------------------------------------------------------------------------
+
+
+def bodies_from_bones(pm: PhysicsModel, wq: Array, wp: Array) -> tuple[Array, Array]:
+    """Body world pose from bone world pose: body = bone x offset
+    (physics.ts:599-645)."""
+    bi = jnp.maximum(pm.bone_index, 0)
+    has = (pm.bone_index >= 0)[:, None]
+    bq = m3.quat_mul(wq[bi], pm.body_offset_quat)
+    bp = wp[bi] + m3.quat_rotate(wq[bi], pm.body_offset_pos)
+    # bodies without a bone stay at their bind placement
+    rest_q = pm.body_offset_quat
+    rest_p = pm.body_offset_pos
+    return jnp.where(has, bq, rest_q), jnp.where(has, bp, rest_p)
+
+
+def step(
+    cfg: EngineConfig,
+    pm: PhysicsModel,
+    state: PhysicsState,
+    dt: Array,
+    wq: Array,  # (J, 4) bone world rotations (FK output)
+    wp: Array,  # (J, 3) bone world positions
+) -> tuple[Array, Array, PhysicsState]:
+    """Full physics step; returns updated bone world transforms + state."""
+    tables = get_tables(pm)
+    h = jnp.float32(cfg.physics_fixed_dt)
+    gravity = jnp.asarray(cfg.gravity)
+
+    # first-frame init: all bodies from bones, zero velocities
+    init_q, init_p = bodies_from_bones(pm, wq, wp)
+    fresh = ~state.initialized
+    pos = jnp.where(fresh, init_p, state.position)
+    quat = jnp.where(fresh, init_q, state.quat)
+    lin_vel = jnp.where(fresh, 0.0, state.lin_vel)
+    ang_vel = jnp.where(fresh, 0.0, state.ang_vel)
+
+    # per-frame kinematic sync (physics.ts:649-702)
+    kin = (~pm.is_dynamic & pm.valid)[:, None]
+    pos = jnp.where(kin, init_p, pos)
+    quat = jnp.where(kin, init_q, quat)
+    lin_vel = jnp.where(kin, 0.0, lin_vel)
+    ang_vel = jnp.where(kin, 0.0, ang_vel)
+
+    inv_mass = jnp.where(pm.is_dynamic & pm.valid, pm.inv_mass, 0.0)
+    dyn = (pm.is_dynamic & pm.valid)[:, None]
+
+    # substep accumulator (Bullet stepSimulation semantics)
+    accum = state.time_accum + dt
+    n_sub = jnp.minimum(
+        jnp.floor(accum / h).astype(jnp.int32), cfg.physics_max_substeps
+    )
+    accum = accum - n_sub.astype(jnp.float32) * h
+
+    lin_damp = jnp.power(
+        jnp.clip(1.0 - pm.linear_damping, 0.0, 1.0), h
+    )[:, None]
+    ang_damp = jnp.power(
+        jnp.clip(1.0 - pm.angular_damping, 0.0, 1.0), h
+    )[:, None]
+
+    def substep(carry, idx):
+        pos, quat, lin_vel, ang_vel = carry
+
+        def run(args):
+            pos, quat, lin_vel, ang_vel = args
+            # integrate velocities
+            v = jnp.where(dyn, (lin_vel + gravity * h) * lin_damp, lin_vel)
+            w = jnp.where(dyn, ang_vel * ang_damp, ang_vel)
+            prev_pos, prev_quat = pos, quat
+            p1 = jnp.where(dyn, pos + v * h, pos)
+            q1 = jnp.where(dyn, _quat_add_rot(quat, w * h), quat)
+
+            # constraint solve
+            def solver_iter(_, pq):
+                p, q = pq
+                for color in range(tables.n_colors):
+                    p, q = _solve_joints_color(
+                        pm, tables, jnp.int32(color), h, p, q, inv_mass
+                    )
+                p, q = _solve_contacts(pm, tables, p, q, inv_mass)
+                return (p, q)
+
+            p2, q2 = jax.lax.fori_loop(
+                0, cfg.physics_solver_iterations, solver_iter, (p1, q1)
+            )
+            # velocity update from positions
+            v2 = jnp.where(dyn, (p2 - prev_pos) / h, v)
+            dq = m3.quat_mul(q2, m3.quat_conj(prev_quat))
+            w2 = jnp.where(dyn, 2.0 * dq[:, :3] / h * jnp.sign(dq[:, 3:4]), w)
+            return p2, q2, v2, w2
+
+        out = jax.lax.cond(idx < n_sub, run, lambda a: a, (pos, quat, lin_vel, ang_vel))
+        return out, None
+
+    (pos, quat, lin_vel, ang_vel), _ = jax.lax.scan(
+        substep, (pos, quat, lin_vel, ang_vel), jnp.arange(cfg.physics_max_substeps)
+    )
+
+    # write dynamic bodies back to bones: bone = body x offset^-1
+    # (physics.ts:715-751)
+    inv_oq = m3.quat_conj(pm.body_offset_quat)
+    bone_q = m3.quat_mul(quat, inv_oq)
+    bone_p = pos - m3.quat_rotate(bone_q, pm.body_offset_pos)
+    ok = (
+        pm.is_dynamic
+        & pm.valid
+        & (pm.bone_index >= 0)
+        & jnp.all(jnp.isfinite(bone_p), axis=-1)
+        & (jnp.max(jnp.abs(bone_p), axis=-1) < 1e6)
+    )
+    bi = jnp.maximum(pm.bone_index, 0)
+    new_wq = wq.at[bi].set(jnp.where(ok[:, None], bone_q, wq[bi]))
+    new_wp = wp.at[bi].set(jnp.where(ok[:, None], bone_p, wp[bi]))
+
+    new_state = PhysicsState(
+        position=pos,
+        quat=quat,
+        lin_vel=lin_vel,
+        ang_vel=ang_vel,
+        initialized=jnp.array(True),
+        time_accum=accum,
+    )
+    return new_wq, new_wp, new_state

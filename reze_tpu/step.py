@@ -1,0 +1,90 @@
+"""The complete per-character simulate+render step as one pure function.
+
+Factored out of :class:`reze_tpu.engine.Engine` so the same code path serves
+the interactive engine (jit, donated state), crowds (vmap over characters)
+and multi-chip execution (jit with NamedSharding over the character batch —
+see reze_tpu/distrib.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .anim import sampler, tween
+from .core.types import EngineConfig, ModelArrays, SceneState
+from .kernels.skinning import skin_vertices
+from .physics import solver as physics_solver
+from .render import pipeline
+from .skeleton import fk
+from .skeleton import ik as ik_mod
+
+
+def make_step(model: ModelArrays, cfg: EngineConfig, dims):
+    """Returns step(state, dt, view_proj, eye_pos, lights, track, breath)
+    -> (state', frame (H, W, 3))."""
+
+    def step(state: SceneState, dt, view_proj, eye_pos, lights, track, breath):
+        t = state.time + dt
+        clip_t = t - state.play_t0
+
+        # 1. animation sampling (device-side timeline)
+        rot = state.local_rot
+        trans = state.local_trans
+        srot, strans = sampler.sample_bones(track, clip_t)
+        use = (track.has_track & state.playing)[:, None]
+        rot = jnp.where(use, srot, rot)
+        trans = jnp.where(use, strans, trans)
+
+        # 1b. breathing overlay after clip end (engine.ts:1609-1662)
+        breath_t = clip_t - breath["start"]
+        breathing = state.playing & (breath_t > 0.0)
+        bq = sampler.breathing_rotation(
+            breath["base"], breath["ranges"], jnp.maximum(breath_t, 0.0),
+            breath["half_cycle"],
+        )
+        rot = jnp.where((breath["mask"] & breathing)[:, None], bq, rot)
+
+        # 1c. morph weights from track when playing
+        mw = jnp.where(
+            state.playing, sampler.sample_morphs(track, clip_t), state.morph_weights
+        )
+
+        # 2. manual tweens override while active (rotateBones API)
+        rot, tween_state = tween.apply_tweens(state.tween, rot, t)
+
+        # 3. FK (+ CCD IK)
+        if cfg.enable_ik and model.ik.n_chains > 0:
+            rot = ik_mod.solve_ik(model.skeleton, model.ik, rot, trans)
+        wq, wp = fk.world_transforms(model.skeleton, rot, trans)
+
+        # 4. physics (writes world transforms of dynamic-body bones)
+        phys_state = state.physics
+        if cfg.enable_physics and model.physics.n_bodies > 0:
+            wq, wp, phys_state = physics_solver.step(
+                cfg, model.physics, phys_state, dt, wq, wp
+            )
+
+        # 5. skinning (morph blend + LBS/SDEF)
+        palette = fk.skin_palette(model.skeleton, wq, wp)
+        pos, nrm = skin_vertices(
+            model.geometry, model.skinning, palette,
+            morphs=model.morphs, morph_weights=mw, world_quat_palette=wq,
+        )
+
+        # 6. rasterize + shade + bloom
+        frame = pipeline.render_frame(
+            model, cfg, dims, pos, nrm, view_proj, eye_pos, lights
+        )
+
+        new_state = state.replace(
+            time=t,
+            local_rot=rot,
+            local_trans=trans,
+            morph_weights=mw,
+            tween=tween_state,
+            physics=phys_state,
+        )
+        return new_state, frame
+
+    return step

@@ -1,0 +1,159 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reze_tpu.core.types import EngineConfig, PhysicsModel, PhysicsState
+from reze_tpu.physics import solver
+
+
+def make_pm(n=2, nj=1, *, spring_ang=0.0, contact_pair=False):
+    f3 = lambda v=0.0: np.full((n, 3), v, np.float32)
+    q0 = np.zeros((n, 4), np.float32)
+    q0[:, 3] = 1
+    jq = np.zeros((nj, 4), np.float32)
+    jq[:, 3] = 1
+    no_contact = np.ones(n, bool)
+    group = np.zeros(n, np.int32)
+    mask = np.zeros(n, np.int32)
+    if contact_pair:
+        no_contact[:] = False
+        mask[:] = 0xFFFF
+    return PhysicsModel(
+        bone_index=np.arange(n, dtype=np.int32),
+        shape=np.zeros(n, np.int32),
+        size=np.full((n, 3), 0.5, np.float32),
+        mass=np.array([0] + [1] * (n - 1), np.float32),
+        inv_mass=np.array([0] + [1] * (n - 1), np.float32),
+        inv_inertia_local=np.full((n, 3), 10.0, np.float32),
+        linear_damping=np.zeros(n, np.float32),
+        angular_damping=np.zeros(n, np.float32),
+        restitution=np.zeros(n, np.float32),
+        friction=np.full(n, 0.5, np.float32),
+        is_dynamic=np.array([False] + [True] * (n - 1)),
+        no_contact=no_contact,
+        group=group,
+        collision_mask=mask,
+        body_offset_pos=f3(),
+        body_offset_quat=q0,
+        valid=np.ones(n, bool),
+        joint_body_a=np.array([0] + [-1] * (nj - 1), np.int32),
+        joint_body_b=np.array([1] + [-1] * (nj - 1), np.int32),
+        joint_pos_a=np.array([[0, -1, 0]] + [[0, 0, 0]] * (nj - 1), np.float32),
+        joint_quat_a=jq,
+        joint_pos_b=np.array([[0, 1, 0]] + [[0, 0, 0]] * (nj - 1), np.float32),
+        joint_quat_b=jq,
+        joint_lin_min=np.zeros((nj, 3), np.float32),
+        joint_lin_max=np.zeros((nj, 3), np.float32),
+        joint_ang_min=np.full((nj, 3), -3.0, np.float32),
+        joint_ang_max=np.full((nj, 3), 3.0, np.float32),
+        joint_spring_lin=np.zeros((nj, 3), np.float32),
+        joint_spring_ang=np.full((nj, 3), spring_ang, np.float32),
+        joint_valid=np.array([True] + [False] * (nj - 1)),
+        n_bodies=n,
+        n_joints=1,
+    )
+
+
+def init_state(n):
+    return PhysicsState(
+        position=jnp.zeros((n, 3)),
+        quat=jnp.zeros((n, 4)).at[:, 3].set(1.0),
+        lin_vel=jnp.zeros((n, 3)),
+        ang_vel=jnp.zeros((n, 3)),
+        initialized=jnp.array(False),
+        time_accum=jnp.float32(0.0),
+    )
+
+
+def run_steps(pm, wq, wp, n_frames, cfg=None):
+    cfg = cfg or EngineConfig()
+    pm = jax.tree.map(jnp.asarray, pm)
+    st = init_state(pm.bone_index.shape[0])
+    stepf = jax.jit(lambda s: solver.step(cfg, pm, s, jnp.float32(1 / 60), wq, wp))
+    for _ in range(n_frames):
+        nwq, nwp, st = stepf(st)
+    return np.asarray(nwq), np.asarray(nwp), st
+
+
+def test_pendulum_hangs_at_joint_distance():
+    pm = make_pm()
+    wq = jnp.zeros((2, 4)).at[:, 3].set(1.0)
+    wp = jnp.asarray([[0.0, 10.0, 0.0], [0.5, 8.0, 0.0]])
+    _, nwp, st = run_steps(pm, wq, wp, 180)
+    pos = np.asarray(st.position)
+    dist = np.linalg.norm(pos[1] - pos[0])
+    np.testing.assert_allclose(dist, 2.0, atol=0.02)
+    assert np.isfinite(pos).all()
+
+
+def test_angular_spring_resists_swing():
+    # stiff angular spring holds the bob near the straight-down rest pose of
+    # the joint frame instead of swinging freely
+    pm_soft = make_pm(spring_ang=0.0)
+    pm_stiff = make_pm(spring_ang=500.0)
+    wq = jnp.zeros((2, 4)).at[:, 3].set(1.0)
+    wp = jnp.asarray([[0.0, 10.0, 0.0], [1.5, 9.0, 0.0]])  # strongly displaced
+    _, _, st_soft = run_steps(pm_soft, wq, wp, 30)
+    _, _, st_stiff = run_steps(pm_stiff, wq, wp, 30)
+    # stiff spring pulls x offset toward the frame alignment faster
+    x_soft = abs(float(st_soft.position[1, 0]))
+    x_stiff = abs(float(st_stiff.position[1, 0]))
+    assert x_stiff < x_soft
+
+
+def test_kinematic_bodies_follow_bones():
+    pm = make_pm()
+    wq = jnp.zeros((2, 4)).at[:, 3].set(1.0)
+    wp0 = jnp.asarray([[0.0, 10.0, 0.0], [0.0, 8.0, 0.0]])
+    cfg = EngineConfig()
+    pmj = jax.tree.map(jnp.asarray, pm)
+    st = init_state(2)
+    stepf = jax.jit(lambda s, wp: solver.step(cfg, pmj, s, jnp.float32(1 / 60), wq, wp))
+    _, _, st = stepf(st, wp0)
+    # move the anchor bone; kinematic body must follow exactly
+    wp1 = jnp.asarray([[3.0, 10.0, 0.0], [0.0, 8.0, 0.0]])
+    _, _, st = stepf(st, wp1)
+    np.testing.assert_allclose(np.asarray(st.position)[0], [3.0, 10.0, 0.0], atol=1e-6)
+
+
+def test_contact_pushes_spheres_apart():
+    pm = make_pm(n=3, nj=1, contact_pair=True)
+    # body 2: dynamic, no joint, overlapping body 1
+    wq = jnp.zeros((3, 4)).at[:, 3].set(1.0)
+    wp = jnp.asarray([[0.0, 10.0, 0.0], [0.0, 8.0, 0.0], [0.3, 8.0, 0.0]])
+    _, _, st = run_steps(pm, wq, wp, 5)
+    pos = np.asarray(st.position)
+    d = np.linalg.norm(pos[2] - pos[1])
+    assert d > 0.6  # pushed apart toward sum of radii (1.0)
+    assert np.isfinite(pos).all()
+
+
+def test_dynamic_writes_back_to_bones():
+    pm = make_pm()
+    wq = jnp.zeros((2, 4)).at[:, 3].set(1.0)
+    wp = jnp.asarray([[0.0, 10.0, 0.0], [0.0, 9.5, 0.0]])
+    nwq, nwp, st = run_steps(pm, wq, wp, 60)
+    # dynamic bone 1 must have moved down to hang at the joint
+    assert nwp[1][1] < 9.0
+    # kinematic bone 0 untouched
+    np.testing.assert_allclose(nwp[0], [0.0, 10.0, 0.0])
+
+
+def test_substep_accumulator():
+    pm = jax.tree.map(jnp.asarray, make_pm())
+    cfg = EngineConfig()
+    st = init_state(2)
+    wq = jnp.zeros((2, 4)).at[:, 3].set(1.0)
+    wp = jnp.asarray([[0.0, 10.0, 0.0], [0.0, 8.0, 0.0]])
+    # dt smaller than fixed step: first call banks time, runs 0 or 1 substeps
+    _, _, st = solver.step(cfg, pm, st, jnp.float32(0.01), wq, wp)
+    assert float(st.time_accum) < cfg.physics_fixed_dt
+    # huge dt: clamped to max_substeps worth of simulation
+    _, _, st2 = solver.step(cfg, pm, st, jnp.float32(1.0), wq, wp)
+    assert np.isfinite(np.asarray(st2.position)).all()
+
+
+def test_joint_coloring_no_conflicts():
+    pm = make_pm()
+    colors = solver.color_joints(jax.tree.map(jnp.asarray, pm))
+    assert colors.shape[0] == pm.joint_body_a.shape[0]
