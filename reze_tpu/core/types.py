@@ -59,9 +59,12 @@ class EngineConfig:
     enable_ik: bool = True
     enable_bloom: bool = True
     # raster tuning
-    tile_size: int = 64  # binning tile edge in pixels
+    tile_size: int = 64  # binning tile edge in pixels (XLA reference path)
     max_tris_per_bin: int = 512
     compute_dtype: Any = jnp.float32
+    # renderer backend: "auto" = Pallas kernels on TPU, XLA path on CPU;
+    # "tpu" / "xla" force one
+    renderer: str = "auto"
 
     @property
     def bloom_size(self) -> tuple[int, int]:

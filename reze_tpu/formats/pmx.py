@@ -411,8 +411,25 @@ def parse_pmx(data: bytes) -> PMXModel:
     model.comment = r.text()
     model.english_comment = r.text()
 
-    # --- vertices ---
+    # --- vertices (native fast path with pure-Python fallback) ---
     vcount = r.i32()
+    from . import native as _native
+
+    nat = _native.parse_pmx_vertices(data, r.pos, vcount, add_uv, bone_sz)
+    if nat is not None:
+        model.positions = nat["positions"]
+        model.normals = nat["normals"]
+        model.uvs = nat["uvs"]
+        model.additional_uvs = nat["additional_uvs"]
+        model.deform_types = nat["deform_types"]
+        model.joints4 = nat["joints4"]
+        model.weights4 = nat["weights4"]
+        if nat["sdef"] is not None:
+            model.sdef_c, model.sdef_r0, model.sdef_r1 = nat["sdef"]
+        model.edge_scale = nat["edge_scale"]
+        r.pos = nat["end"]
+        return _parse_pmx_tail(r, data, model, v_sz, tex_sz, mat_sz, bone_sz, morph_sz, rb_sz)
+
     positions = np.zeros((vcount, 3), np.float32)
     normals = np.zeros((vcount, 3), np.float32)
     uvs = np.zeros((vcount, 2), np.float32)
@@ -468,6 +485,13 @@ def parse_pmx(data: bytes) -> PMXModel:
         model.sdef_c, model.sdef_r0, model.sdef_r1 = sdef_c, sdef_r0, sdef_r1
     model.edge_scale = edge_scale
 
+    return _parse_pmx_tail(r, data, model, v_sz, tex_sz, mat_sz, bone_sz, morph_sz, rb_sz)
+
+
+def _parse_pmx_tail(
+    r: _Reader, data: bytes, model: PMXModel,
+    v_sz: int, tex_sz: int, mat_sz: int, bone_sz: int, morph_sz: int, rb_sz: int,
+) -> PMXModel:
     # --- indices (vectorized) ---
     icount = r.i32()
     dtype = {1: np.uint8, 2: np.uint16, 4: np.int32}[v_sz]

@@ -102,9 +102,24 @@ def parse_vmd(data: bytes) -> VMDMotion:
     motion = VMDMotion(model_name=_decode_sjis(data[pos : pos + 20]))
     pos += 20
 
-    # --- bone frames (111 bytes each) ---
+    # --- bone frames (111 bytes each; native fast path w/ fallback) ---
     (n,) = struct.unpack_from("<I", data, pos)
     pos += 4
+    from . import native as _native
+
+    nat = _native.parse_vmd_bone_frames(data, pos, n)
+    if nat is not None:
+        motion.bone_names = [_decode_sjis(bytes(row)) for row in nat["names"]]
+        motion.bone_frames = nat["frames"].astype(np.int64)
+        motion.bone_positions = nat["positions"]
+        motion.bone_rotations = nat["rotations"]
+        motion.bone_interp = (
+            nat["interp"].astype(np.float32).reshape(n, 4, 4).transpose(0, 2, 1)
+            / 127.0
+        )
+        pos = nat["end"]
+        return _parse_vmd_tail(data, pos, motion)
+
     names: list[str] = []
     frames = np.zeros(n, np.int64)
     positions = np.zeros((n, 3), np.float32)
@@ -127,7 +142,10 @@ def parse_vmd(data: bytes) -> VMDMotion:
     motion.bone_positions = positions
     motion.bone_rotations = rotations
     motion.bone_interp = interp
+    return _parse_vmd_tail(data, pos, motion)
 
+
+def _parse_vmd_tail(data: bytes, pos: int, motion: VMDMotion) -> VMDMotion:
     # --- morph frames (23 bytes each) ---
     if pos + 4 <= len(data):
         (n,) = struct.unpack_from("<I", data, pos)

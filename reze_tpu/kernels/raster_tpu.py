@@ -1,0 +1,330 @@
+"""Pallas TPU rasterizer — the hot path.
+
+One kernel invocation rasterizes one pass (a class-sorted triangle list) over
+the whole frame: grid = (bins,), each grid step owns a 32x128-pixel tile
+whose per-sample depth and G-buffer stay VMEM-resident while the bin's
+triangle list is walked. Compared to the XLA formulation
+(render/raster.py), this removes all per-pixel gathers: fragment attributes
+are interpolated *inside* the kernel from per-triangle plane equations and
+written under the win mask, so shading downstream is pure dense math.
+
+Layout decisions (TPU-first):
+* tiles are (32, 128) px — one f32 vreg row (8, 128) per MSAA band step,
+  4 bands per tile; band-range skipping bounds per-triangle work by its
+  bounding box.
+* triangle setup is packed as plane equations: 3 edges + depth + 6
+  interpolants, all affine in screen space -> the inner loop is pure FMA +
+  compare/select on (8, 128) vectors.
+* binning produces one *global* bin-sorted pair list (no per-bin capacity,
+  no overflow): the kernel walks its [start, start+count) segment. Triangle
+  ids are stored as f32 (Mosaic cannot scalar-read 1-D int VMEM).
+* MSAA: per-sample depth test in VMEM scratch; coverage = fraction of
+  samples won, folded into alpha at blend time (matches render/raster.py).
+
+Reference parity: same pass semantics as the WebGPU pipelines
+(engine.ts:335-899) — less-equal depth, draw-order ties, front/back/none
+culling (applied at setup), fragment-last-writer-wins.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..render.raster import SAMPLE_OFFSETS, TriSetup
+
+TILE_H = 32
+TILE_W = 128
+BANDS = TILE_H // 8
+
+# G-buffer channels
+CH_UIW, CH_VIW, CH_NXIW, CH_NYIW, CH_NZIW, CH_IW, CH_MAT, CH_COVER, CH_Z = range(9)
+N_CH = 9
+
+
+class PassTables(NamedTuple):
+    tri_tab: jax.Array  # (T, 16) f32 plane equations + bbox
+    attr_tab: jax.Array  # (T, 24) f32 interpolant planes + matid
+    ids: jax.Array  # (N/128, 128) f32 bin-sorted triangle ids
+    starts: jax.Array  # (B,) i32
+    counts: jax.Array  # (B,) i32
+
+
+def pack_tables(
+    tri: TriSetup,
+    corner_uv: jax.Array,  # (T, 3, 2)
+    corner_nrm: jax.Array,  # (T, 3, 3)
+    tri_mat: jax.Array,  # (T,)
+    by: int,
+    bx: int,
+    max_bins_per_tri: int = 16,
+) -> PassTables:
+    """XLA-side setup: plane equations + global sorted bin pairs."""
+    t = tri.valid.shape[0]
+    inv2a = tri.inv_area2[:, None]  # (T, 1)
+
+    # depth plane: z(x,y) = sum_k E_k(x,y) * z_k * inv2a
+    za = jnp.sum(tri.ea * tri.z, axis=1) * inv2a[:, 0]
+    zb = jnp.sum(tri.eb * tri.z, axis=1) * inv2a[:, 0]
+    zc = jnp.sum(tri.ec * tri.z, axis=1) * inv2a[:, 0]
+
+    big = jnp.float32(1e9)
+    xmin = jnp.where(tri.valid, jnp.min(tri.sx, axis=1), big)
+    xmax = jnp.where(tri.valid, jnp.max(tri.sx, axis=1), -big)
+    ymin = jnp.where(tri.valid, jnp.min(tri.sy, axis=1), big)
+    ymax = jnp.where(tri.valid, jnp.max(tri.sy, axis=1), -big)
+
+    # edge coefficients pre-scaled by inv2a: bary_k = E_k * inv2a
+    ea = tri.ea * inv2a
+    eb = tri.eb * inv2a
+    ec = tri.ec * inv2a
+
+    tri_tab = jnp.concatenate(
+        [
+            ea, eb, ec,
+            jnp.stack([za, zb, zc], axis=1),
+            jnp.stack([ymin, ymax, xmin, xmax], axis=1),
+        ],
+        axis=1,
+    )  # (T, 16)
+
+    # interpolant planes: ch(x,y) = sum_k bary_k * v_k  (bary pre-scaled)
+    iw = tri.inv_w  # (T, 3)
+    vals = jnp.concatenate(
+        [
+            corner_uv * iw[..., None],  # uiw, viw
+            corner_nrm * iw[..., None],  # n*iw
+            iw[..., None],  # iw
+        ],
+        axis=-1,
+    )  # (T, 3, 6)
+    a_ch = jnp.einsum("tk,tkc->tc", ea, vals)
+    b_ch = jnp.einsum("tk,tkc->tc", eb, vals)
+    c_ch = jnp.einsum("tk,tkc->tc", ec, vals)
+    attr_tab = jnp.concatenate(
+        [a_ch, b_ch, c_ch, tri_mat[:, None].astype(jnp.float32),
+         jnp.zeros((t, 5))],
+        axis=1,
+    )  # (T, 24)
+
+    # --- binning: (bin, tri) pairs, globally sorted ---
+    bx0 = jnp.clip(jnp.floor((xmin - 0.5) / TILE_W), 0, bx - 1).astype(jnp.int32)
+    bx1 = jnp.clip(jnp.floor((xmax + 0.5) / TILE_W), 0, bx - 1).astype(jnp.int32)
+    by0 = jnp.clip(jnp.floor((ymin - 0.5) / TILE_H), 0, by - 1).astype(jnp.int32)
+    by1 = jnp.clip(jnp.floor((ymax + 0.5) / TILE_H), 0, by - 1).astype(jnp.int32)
+    nx = bx1 - bx0 + 1
+    ny = by1 - by0 + 1
+    n_bins_tri = nx * ny
+
+    slot = jnp.arange(max_bins_per_tri, dtype=jnp.int32)
+    sx_off = slot[None, :] % jnp.maximum(nx, 1)[:, None]
+    sy_off = slot[None, :] // jnp.maximum(nx, 1)[:, None]
+    bin_id = (by0[:, None] + sy_off) * bx + (bx0[:, None] + sx_off)
+    slot_ok = (
+        (slot[None, :] < n_bins_tri[:, None])
+        & tri.valid[:, None]
+        & (xmax >= xmin)[:, None]
+    )
+    b_total = by * bx
+    tri_ids = jnp.broadcast_to(
+        jnp.arange(t, dtype=jnp.int32)[:, None], bin_id.shape
+    )
+    shift = 1 << 18
+    key = jnp.where(slot_ok, bin_id * shift + tri_ids, b_total * shift)
+    key = jnp.sort(key.reshape(-1))
+    pair_bin = key // shift
+    pair_tri = key % shift
+    flat = jnp.where(pair_bin < b_total, pair_tri, 0).astype(jnp.float32)
+    # lay out as (N/128, 128): a (N, 1) array would be lane-padded x128 in VMEM
+    n_pad = ((flat.shape[0] + 127) // 128) * 128
+    ids = jnp.pad(flat, (0, n_pad - flat.shape[0])).reshape(-1, 128)
+    starts = jnp.searchsorted(pair_bin, jnp.arange(b_total, dtype=jnp.int32)).astype(
+        jnp.int32
+    )
+    ends = jnp.searchsorted(
+        pair_bin, jnp.arange(b_total, dtype=jnp.int32), side="right"
+    ).astype(jnp.int32)
+    return PassTables(tri_tab, attr_tab, ids, starts, ends - starts)
+
+
+def _raster_kernel(
+    # scalar-prefetch style SMEM inputs
+    starts_ref, counts_ref,
+    # VMEM inputs
+    tri_ref, attr_ref, ids_ref,
+    zbuf_in_ref,  # (1, S, 32, 128) incoming depth (aliased storage)
+    # outputs
+    zbuf_ref,  # (1, S, 32, 128) aliased in/out
+    gbuf_ref,  # (1, N_CH, 32, 128)
+    # scratch
+    won_ref,  # (S, 32, 128) f32 0/1
+    *,
+    bx: int,
+    n_samples: int,
+    depth_write: bool,
+    with_attrs: bool,
+):
+    b = pl.program_id(0)
+    x0 = (b % bx) * TILE_W
+    y0 = (b // bx) * TILE_H
+    x0f = x0.astype(jnp.float32)
+    y0f = y0.astype(jnp.float32)
+
+    # init outputs (blocked output contents are undefined until written, even
+    # with input_output_aliases — copy the incoming depth explicitly)
+    zbuf_ref[0] = zbuf_in_ref[0]
+    gbuf_ref[0] = jnp.zeros((N_CH, TILE_H, TILE_W), jnp.float32)
+    gbuf_ref[0, CH_MAT] = jnp.full((TILE_H, TILE_W), -1.0)
+    won_ref[:] = jnp.zeros((n_samples, TILE_H, TILE_W), jnp.float32)
+
+    xs = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1).astype(jnp.float32)
+        + x0f + 0.5
+    )  # (8, 128)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0).astype(
+        jnp.float32
+    )
+
+    start = starts_ref[b]
+    count = counts_ref[b]
+
+    def tri_body(k, _):
+        n = start + k
+        # scalar loads need a static lane index: fetch the 128-wide row and
+        # dynamically rotate the wanted lane to position 0
+        id_row = ids_ref[pl.ds(n // 128, 1), :]
+        tid = pltpu.roll(id_row, shift=-(n % 128), axis=1)[0, 0].astype(jnp.int32)
+        ea0 = tri_ref[tid, 0]
+        ea1 = tri_ref[tid, 1]
+        ea2 = tri_ref[tid, 2]
+        eb0 = tri_ref[tid, 3]
+        eb1 = tri_ref[tid, 4]
+        eb2 = tri_ref[tid, 5]
+        ec0 = tri_ref[tid, 6]
+        ec1 = tri_ref[tid, 7]
+        ec2 = tri_ref[tid, 8]
+        za = tri_ref[tid, 9]
+        zbc = tri_ref[tid, 10]
+        zcc = tri_ref[tid, 11]
+        ymin = tri_ref[tid, 12]
+        ymax = tri_ref[tid, 13]
+
+        b0 = jnp.clip(
+            jnp.floor((ymin - 0.5 - y0f) / 8.0).astype(jnp.int32), 0, BANDS - 1
+        )
+        b1 = jnp.clip(
+            jnp.floor((ymax + 0.5 - y0f) / 8.0).astype(jnp.int32), 0, BANDS - 1
+        )
+
+        def band_body(bi, _):
+            ys = row_iota + (y0f + (bi * 8).astype(jnp.float32) + 0.5)
+            e0 = ea0 * xs + eb0 * ys + ec0
+            e1 = ea1 * xs + eb1 * ys + ec1
+            e2 = ea2 * xs + eb2 * ys + ec2
+            zz = za * xs + zbc * ys + zcc
+            row = pl.ds(bi * 8, 8)
+
+            any_pass = jnp.zeros((8, TILE_W), jnp.bool_)
+            for s in range(n_samples):
+                dx, dy = SAMPLE_OFFSETS[s]
+                o0 = ea0 * dx + eb0 * dy
+                o1 = ea1 * dx + eb1 * dy
+                o2 = ea2 * dx + eb2 * dy
+                oz = za * dx + zbc * dy
+                inside = ((e0 + o0) >= 0) & ((e1 + o1) >= 0) & ((e2 + o2) >= 0)
+                zs = zz + oz
+                zcur = zbuf_ref[0, s, row, :]
+                passed = inside & (zs <= zcur) & (zs >= 0.0) & (zs <= 1.0)
+                if depth_write:
+                    zbuf_ref[0, s, row, :] = jnp.where(passed, zs, zcur)
+                won_ref[s, row, :] = jnp.where(
+                    passed, 1.0, won_ref[s, row, :]
+                )
+                any_pass = any_pass | passed
+
+            @pl.when(jnp.any(any_pass))
+            def _():
+                mat = attr_ref[tid, 18]
+                cur_m = gbuf_ref[0, CH_MAT, row, :]
+                gbuf_ref[0, CH_MAT, row, :] = jnp.where(any_pass, mat, cur_m)
+                cur_z = gbuf_ref[0, CH_Z, row, :]
+                gbuf_ref[0, CH_Z, row, :] = jnp.where(any_pass, zz, cur_z)
+                if with_attrs:
+                    for ch in range(6):
+                        a = attr_ref[tid, ch]
+                        bb = attr_ref[tid, 6 + ch]
+                        cc = attr_ref[tid, 12 + ch]
+                        val = a * xs + bb * ys + cc
+                        cur = gbuf_ref[0, ch, row, :]
+                        gbuf_ref[0, ch, row, :] = jnp.where(any_pass, val, cur)
+
+            return 0
+
+        jax.lax.fori_loop(b0, b1 + 1, band_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, count, tri_body, 0)
+
+    # coverage = fraction of samples won by this pass
+    cover = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    for s in range(n_samples):
+        cover = cover + won_ref[s]
+    gbuf_ref[0, CH_COVER] = cover * (1.0 / n_samples)
+
+
+def raster_pass_tpu(
+    tables: PassTables,
+    zbuf: jax.Array,  # (B, S, 32, 128)
+    *,
+    bx: int,
+    depth_write: bool,
+    with_attrs: bool = True,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Run one raster pass; returns (zbuf', gbuf (B, N_CH, 32, 128))."""
+    b, s = zbuf.shape[0], zbuf.shape[1]
+    kernel = functools.partial(
+        _raster_kernel,
+        bx=bx,
+        n_samples=s,
+        depth_write=depth_write,
+        with_attrs=with_attrs,
+    )
+    zbuf_out, gbuf = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # starts
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri_tab
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # attr_tab
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ids
+            pl.BlockSpec(
+                (1, s, TILE_H, TILE_W), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),  # zbuf (aliased)
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, s, TILE_H, TILE_W), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, N_CH, TILE_H, TILE_W), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(zbuf.shape, jnp.float32),
+            jax.ShapeDtypeStruct((b, N_CH, TILE_H, TILE_W), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((s, TILE_H, TILE_W), jnp.float32)],
+        input_output_aliases={5: 0},
+        interpret=interpret,
+    )(tables.starts, tables.counts, tables.tri_tab, tables.attr_tab, tables.ids, zbuf)
+    return zbuf_out, gbuf

@@ -244,7 +244,9 @@ def _solve_joints_color(
     dq_acc = jnp.zeros_like(pos)  # rotation vectors
 
     # ---- linear: constrain d (in frame A basis) into [min, max], plus
-    # spring toward 0 when stiffness != 0
+    # spring toward 0 when stiffness != 0. All six (axis x {limit, spring})
+    # corrections are computed against the same pre-solve state and applied
+    # with one accumulated impulse per joint (one scatter set per color).
     frame_a_rot = m3.mat3_from_quat(qa)  # column k = world direction of axis k
     d_world = pb - pa
     axes = jnp.swapaxes(frame_a_rot, -1, -2)  # (NJ, 3axes, 3world)
@@ -252,37 +254,25 @@ def _solve_joints_color(
 
     lo = pm.joint_lin_min
     hi = pm.joint_lin_max
-    # hard violation outside [lo, hi]
     viol = jnp.where(d_axes < lo, d_axes - lo, jnp.where(d_axes > hi, d_axes - hi, 0.0))
-    # spring toward 0 with compliance 1/(k h^2) — fold into a softened target
     k_lin = pm.joint_spring_lin
     alpha = jnp.where(k_lin > 0, 1.0 / jnp.maximum(k_lin, 1e-6), 0.0) / jnp.maximum(h * h, 1e-12)
     spring_c = jnp.where(k_lin > 0, d_axes, 0.0)
 
-    for axis_k in range(3):
-        n = axes[:, axis_k]  # (NJ, 3)
-        for c_val, compliance in ((viol[:, axis_k], jnp.zeros_like(h)), (spring_c[:, axis_k], alpha[:, axis_k])):
-            ra = pa - pos[a]
-            rb = pb - pos[b]
-            ra_x_n = jnp.cross(ra, n)
-            rb_x_n = jnp.cross(rb, n)
-            w_sum = (
-                wa + wb
-                + jnp.einsum("bi,bij,bj->b", ra_x_n, inv_inertia_w[a], ra_x_n)
-                + jnp.einsum("bi,bij,bj->b", rb_x_n, inv_inertia_w[b], rb_x_n)
-            )
-            dlam = -c_val / jnp.maximum(w_sum + compliance, 1e-9)
-            dlam = jnp.where(sel & (w_sum > 0), dlam, 0.0)
-            p_imp = n * dlam[:, None]
-            # B moves +, A moves - (c = d·n, d = pb - pa)
-            dpos = dpos.at[b].add(p_imp * wb[:, None])
-            dpos = dpos.at[a].add(-p_imp * wa[:, None])
-            dq_acc = dq_acc.at[b].add(
-                jnp.einsum("bij,bj->bi", inv_inertia_w[b], jnp.cross(rb, p_imp))
-            )
-            dq_acc = dq_acc.at[a].add(
-                -jnp.einsum("bij,bj->bi", inv_inertia_w[a], jnp.cross(ra, p_imp))
-            )
+    ra = pa - pos[a]
+    rb = pb - pos[b]
+    # generalized inverse masses per axis: w = wa + wb + (r x n) I^-1 (r x n)
+    ra_x = jnp.cross(ra[:, None, :], axes)  # (NJ, 3axes, 3)
+    rb_x = jnp.cross(rb[:, None, :], axes)
+    w_lin = (
+        wa[:, None] + wb[:, None]
+        + jnp.einsum("bki,bij,bkj->bk", ra_x, inv_inertia_w[a], ra_x)
+        + jnp.einsum("bki,bij,bkj->bk", rb_x, inv_inertia_w[b], rb_x)
+    )  # (NJ, 3)
+    dlam_hard = -viol / jnp.maximum(w_lin, 1e-9)
+    dlam_soft = -spring_c / jnp.maximum(w_lin + alpha, 1e-9)
+    dlam = jnp.where(sel[:, None] & (w_lin > 0), dlam_hard + dlam_soft, 0.0)
+    p_imp = jnp.einsum("bk,bkw->bw", dlam, axes)  # (NJ, 3) total impulse
 
     # ---- angular: relative rotation euler (ZXY) per-axis limits + springs
     q_rel = m3.quat_mul(m3.quat_conj(qa), qb)
@@ -293,19 +283,22 @@ def _solve_joints_color(
     k_ang = pm.joint_spring_ang
     a_alpha = jnp.where(k_ang > 0, 1.0 / jnp.maximum(k_ang, 1e-6), 0.0) / jnp.maximum(h * h, 1e-12)
     a_spring = jnp.where(k_ang > 0, e, 0.0)
+    w_ang = (
+        jnp.einsum("bki,bij,bkj->bk", axes, inv_inertia_w[a], axes)
+        + jnp.einsum("bki,bij,bkj->bk", axes, inv_inertia_w[b], axes)
+    )
+    adlam_hard = -aviol / jnp.maximum(w_ang, 1e-9)
+    adlam_soft = -a_spring / jnp.maximum(w_ang + a_alpha, 1e-9)
+    adlam = jnp.where(sel[:, None] & (w_ang > 0), adlam_hard + adlam_soft, 0.0)
+    t_imp = jnp.einsum("bk,bkw->bw", adlam, axes)
 
-    for axis_k in range(3):
-        n = axes[:, axis_k]
-        for c_val, compliance in ((aviol[:, axis_k], jnp.zeros_like(h)), (a_spring[:, axis_k], a_alpha[:, axis_k])):
-            w_sum = (
-                jnp.einsum("bi,bij,bj->b", n, inv_inertia_w[a], n)
-                + jnp.einsum("bi,bij,bj->b", n, inv_inertia_w[b], n)
-            )
-            dlam = -c_val / jnp.maximum(w_sum + compliance, 1e-9)
-            dlam = jnp.where(sel & (w_sum > 0), dlam, 0.0)
-            t_imp = n * dlam[:, None]
-            dq_acc = dq_acc.at[b].add(jnp.einsum("bij,bj->bi", inv_inertia_w[b], t_imp))
-            dq_acc = dq_acc.at[a].add(-jnp.einsum("bij,bj->bi", inv_inertia_w[a], t_imp))
+    # apply: one scatter set
+    dpos = dpos.at[b].add(p_imp * wb[:, None])
+    dpos = dpos.at[a].add(-p_imp * wa[:, None])
+    torque_b = jnp.cross(rb, p_imp) + t_imp
+    torque_a = jnp.cross(ra, p_imp) + t_imp
+    dq_acc = dq_acc.at[b].add(jnp.einsum("bij,bj->bi", inv_inertia_w[b], torque_b))
+    dq_acc = dq_acc.at[a].add(-jnp.einsum("bij,bj->bi", inv_inertia_w[a], torque_a))
 
     pos = pos + dpos
     quat = _quat_add_rot(quat, dq_acc)
@@ -421,42 +414,37 @@ def step(
         jnp.clip(1.0 - pm.angular_damping, 0.0, 1.0), h
     )[:, None]
 
-    def substep(carry, idx):
+    def substep(_, carry):
         pos, quat, lin_vel, ang_vel = carry
+        # integrate velocities
+        v = jnp.where(dyn, (lin_vel + gravity * h) * lin_damp, lin_vel)
+        w = jnp.where(dyn, ang_vel * ang_damp, ang_vel)
+        prev_pos, prev_quat = pos, quat
+        p1 = jnp.where(dyn, pos + v * h, pos)
+        q1 = jnp.where(dyn, _quat_add_rot(quat, w * h), quat)
 
-        def run(args):
-            pos, quat, lin_vel, ang_vel = args
-            # integrate velocities
-            v = jnp.where(dyn, (lin_vel + gravity * h) * lin_damp, lin_vel)
-            w = jnp.where(dyn, ang_vel * ang_damp, ang_vel)
-            prev_pos, prev_quat = pos, quat
-            p1 = jnp.where(dyn, pos + v * h, pos)
-            q1 = jnp.where(dyn, _quat_add_rot(quat, w * h), quat)
+        # constraint solve
+        def solver_iter(_, pq):
+            p, q = pq
+            for color in range(tables.n_colors):
+                p, q = _solve_joints_color(
+                    pm, tables, jnp.int32(color), h, p, q, inv_mass
+                )
+            p, q = _solve_contacts(pm, tables, p, q, inv_mass)
+            return (p, q)
 
-            # constraint solve
-            def solver_iter(_, pq):
-                p, q = pq
-                for color in range(tables.n_colors):
-                    p, q = _solve_joints_color(
-                        pm, tables, jnp.int32(color), h, p, q, inv_mass
-                    )
-                p, q = _solve_contacts(pm, tables, p, q, inv_mass)
-                return (p, q)
+        p2, q2 = jax.lax.fori_loop(
+            0, cfg.physics_solver_iterations, solver_iter, (p1, q1)
+        )
+        # velocity update from positions
+        v2 = jnp.where(dyn, (p2 - prev_pos) / h, v)
+        dq = m3.quat_mul(q2, m3.quat_conj(prev_quat))
+        w2 = jnp.where(dyn, 2.0 * dq[:, :3] / h * jnp.sign(dq[:, 3:4]), w)
+        return p2, q2, v2, w2
 
-            p2, q2 = jax.lax.fori_loop(
-                0, cfg.physics_solver_iterations, solver_iter, (p1, q1)
-            )
-            # velocity update from positions
-            v2 = jnp.where(dyn, (p2 - prev_pos) / h, v)
-            dq = m3.quat_mul(q2, m3.quat_conj(prev_quat))
-            w2 = jnp.where(dyn, 2.0 * dq[:, :3] / h * jnp.sign(dq[:, 3:4]), w)
-            return p2, q2, v2, w2
-
-        out = jax.lax.cond(idx < n_sub, run, lambda a: a, (pos, quat, lin_vel, ang_vel))
-        return out, None
-
-    (pos, quat, lin_vel, ang_vel), _ = jax.lax.scan(
-        substep, (pos, quat, lin_vel, ang_vel), jnp.arange(cfg.physics_max_substeps)
+    # dynamic trip count: only the substeps that actually run (typ. 1/frame)
+    pos, quat, lin_vel, ang_vel = jax.lax.fori_loop(
+        0, n_sub, substep, (pos, quat, lin_vel, ang_vel)
     )
 
     # write dynamic bodies back to bones: bone = body x offset^-1

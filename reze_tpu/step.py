@@ -20,9 +20,20 @@ from .skeleton import fk
 from .skeleton import ik as ik_mod
 
 
-def make_step(model: ModelArrays, cfg: EngineConfig, dims):
+def make_step(model: ModelArrays, cfg: EngineConfig, dims=None):
     """Returns step(state, dt, view_proj, eye_pos, lights, track, breath)
     -> (state', frame (H, W, 3))."""
+    use_fast = cfg.renderer == "tpu" or (
+        cfg.renderer == "auto" and jax.default_backend() != "cpu"
+    )
+    if use_fast:
+        from .render import pipeline_tpu, shading_fast
+
+        fast_dims = pipeline_tpu.make_dims_fast(cfg)
+        packed = shading_fast.pack_materials(model.materials, model.atlas)
+        interpret = jax.default_backend() == "cpu"
+    if dims is None:
+        dims = pipeline.make_dims(cfg)
 
     def step(state: SceneState, dt, view_proj, eye_pos, lights, track, breath):
         t = state.time + dt
@@ -73,9 +84,15 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims):
         )
 
         # 6. rasterize + shade + bloom
-        frame = pipeline.render_frame(
-            model, cfg, dims, pos, nrm, view_proj, eye_pos, lights
-        )
+        if use_fast:
+            frame = pipeline_tpu.render_frame_fast(
+                model, cfg, fast_dims, packed, pos, nrm, view_proj, eye_pos,
+                lights, interpret=interpret,
+            )
+        else:
+            frame = pipeline.render_frame(
+                model, cfg, dims, pos, nrm, view_proj, eye_pos, lights
+            )
 
         new_state = state.replace(
             time=t,
