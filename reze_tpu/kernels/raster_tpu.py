@@ -41,6 +41,10 @@ from ..render.raster import SAMPLE_OFFSETS, TriSetup
 TILE_H = 32
 TILE_W = 128
 BANDS = TILE_H // 8
+# The Mosaic toolchain here crashes compiling kernels whose triangle tables
+# exceed ~16384 rows; passes larger than this are sliced at the XLA level
+# (pipeline_tpu._sliced_raster) and their G-buffers merged.
+MAX_TRIS_PER_CALL = 16384
 
 # G-buffer channels
 CH_UIW, CH_VIW, CH_NXIW, CH_NYIW, CH_NZIW, CH_IW, CH_MAT, CH_COVER, CH_Z = range(9)
@@ -48,9 +52,9 @@ N_CH = 9
 
 
 class PassTables(NamedTuple):
-    tri_tab: jax.Array  # (T, 16) f32 plane equations + bbox
-    attr_tab: jax.Array  # (T, 24) f32 interpolant planes + matid
-    ids: jax.Array  # (N/128, 128) f32 bin-sorted triangle ids
+    tri_tab: jax.Array  # (C, TRI_CHUNK, 16) f32 plane equations + bbox
+    attr_tab: jax.Array  # (C, TRI_CHUNK, 24) f32 interpolant planes + matid
+    ids: jax.Array  # (N/(2048*128), 2048, 128) f32 bin-sorted triangle ids
     starts: jax.Array  # (B,) i32
     counts: jax.Array  # (B,) i32
 
@@ -140,7 +144,7 @@ def pack_tables(
     pair_bin = key // shift
     pair_tri = key % shift
     flat = jnp.where(pair_bin < b_total, pair_tri, 0).astype(jnp.float32)
-    # lay out as (N/128, 128): a (N, 1) array would be lane-padded x128 in VMEM
+    # lane-major (rows, 128) layout ((N,1) would be lane-padded x128)
     n_pad = ((flat.shape[0] + 127) // 128) * 128
     ids = jnp.pad(flat, (0, n_pad - flat.shape[0])).reshape(-1, 128)
     starts = jnp.searchsorted(pair_bin, jnp.arange(b_total, dtype=jnp.int32)).astype(
@@ -149,6 +153,12 @@ def pack_tables(
     ends = jnp.searchsorted(
         pair_bin, jnp.arange(b_total, dtype=jnp.int32), side="right"
     ).astype(jnp.int32)
+
+    if t > MAX_TRIS_PER_CALL:
+        raise ValueError(
+            f"pass has {t} triangles > {MAX_TRIS_PER_CALL}; slice the pass "
+            "(see pipeline_tpu._sliced_raster)"
+        )
     return PassTables(tri_tab, attr_tab, ids, starts, ends - starts)
 
 
@@ -325,6 +335,9 @@ def raster_pass_tpu(
         ],
         scratch_shapes=[pltpu.VMEM((s, TILE_H, TILE_W), jnp.float32)],
         input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
         interpret=interpret,
     )(tables.starts, tables.counts, tables.tri_tab, tables.attr_tab, tables.ids, zbuf)
     return zbuf_out, gbuf

@@ -82,15 +82,38 @@ def render_frame_fast(
     stencil = jnp.zeros((dims.p,), jnp.int32)
 
     def run_raster(cls, cull, outline, depth_write):
+        """Rasterize one pass, slicing it if it exceeds the per-call triangle
+        limit; slice G-buffers merge with last-writer-wins + summed cover."""
         data = _gather_pass(model, pos, nrm, view_proj, cls, outline, cfg.outline_scale)
-        tri = raster.setup_triangles(data.corners_clip, data.valid, dims.wp, dims.hp, cull)
-        tabs = RT.pack_tables(
-            tri, data.corner_uv, data.corner_nrm, data.tri_mat, dims.by, dims.bx
-        )
-        return RT.raster_pass_tpu(
-            tabs, zbuf, bx=dims.bx, depth_write=depth_write,
-            with_attrs=not outline, interpret=interpret,
-        )
+        t = data.valid.shape[0]
+        n_slices = max(-(-t // RT.MAX_TRIS_PER_CALL), 1)
+        zb = zbuf
+        merged = None
+        for si in range(n_slices):
+            lo = si * RT.MAX_TRIS_PER_CALL
+            hi = min(t, lo + RT.MAX_TRIS_PER_CALL)
+            sl = slice(lo, hi)
+            tri = raster.setup_triangles(
+                data.corners_clip[sl], data.valid[sl], dims.wp, dims.hp, cull
+            )
+            tabs = RT.pack_tables(
+                tri, data.corner_uv[sl], data.corner_nrm[sl], data.tri_mat[sl],
+                dims.by, dims.bx,
+            )
+            zb, gbuf = RT.raster_pass_tpu(
+                tabs, zb, bx=dims.bx, depth_write=depth_write,
+                with_attrs=not outline, interpret=interpret,
+            )
+            if merged is None:
+                merged = gbuf
+            else:
+                won = gbuf[:, RT.CH_MAT : RT.CH_MAT + 1] >= 0
+                cover = jnp.minimum(
+                    merged[:, RT.CH_COVER] + gbuf[:, RT.CH_COVER], 1.0
+                )
+                merged = jnp.where(won, gbuf, merged)
+                merged = merged.at[:, RT.CH_COVER].set(cover)
+        return zb, merged
 
     def shade_blend(color, gbuf, use_stencil=False):
         g = _untile_gbuf(gbuf, dims)
