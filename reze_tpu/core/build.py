@@ -487,6 +487,7 @@ def build_physics(pmx: PMXModel, nb_pad: int | None = None, nj_pad: int | None =
     off_pos = np.zeros((nb_pad, 3), np.float32)
     off_quat = np.zeros((nb_pad, 4), np.float32)
     off_quat[:, 3] = 1.0
+    bind_pos = np.full((nb_pad, 3), 1e6, np.float32)
     valid = np.zeros(nb_pad, bool)
 
     n_bones = len(pmx.bones)
@@ -524,6 +525,7 @@ def build_physics(pmx: PMXModel, nb_pad: int | None = None, nj_pad: int | None =
         else:
             off_pos[i] = rb.position
         off_quat[i] = q
+        bind_pos[i] = rb.position
         valid[i] = True
 
     jba = np.full(nj_pad, -1, np.int32)
@@ -580,6 +582,7 @@ def build_physics(pmx: PMXModel, nb_pad: int | None = None, nj_pad: int | None =
         collision_mask=mask,
         body_offset_pos=off_pos,
         body_offset_quat=off_quat,
+        bind_pos=bind_pos,
         valid=valid,
         joint_body_a=jba,
         joint_body_b=jbb,

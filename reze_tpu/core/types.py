@@ -54,7 +54,7 @@ class EngineConfig:
     gravity: tuple[float, float, float] = (0.0, -98.0, 0.0)
     physics_fixed_dt: float = 1.0 / 75.0
     physics_max_substeps: int = 10
-    physics_solver_iterations: int = 10
+    physics_solver_iterations: int = 4
     enable_physics: bool = True
     enable_ik: bool = True
     enable_bloom: bool = True
@@ -211,6 +211,7 @@ class PhysicsModel:
     collision_mask: Array  # (NB,) i32 (bitmask over groups)
     body_offset_pos: Array  # (NB, 3) bone-local body offset (translation)
     body_offset_quat: Array  # (NB, 4) bone-local body offset (rotation)
+    bind_pos: Array  # (NB, 3) bind-pose world position (broadphase prune)
     valid: Array  # (NB,) bool
     # joints (6-DOF springs)
     joint_body_a: Array  # (NJ,) i32

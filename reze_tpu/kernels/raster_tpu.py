@@ -66,7 +66,7 @@ def pack_tables(
     tri_mat: jax.Array,  # (T,)
     by: int,
     bx: int,
-    max_bins_per_tri: int = 16,
+    max_bins_per_tri: int = 8,
 ) -> PassTables:
     """XLA-side setup: plane equations + global sorted bin pairs."""
     t = tri.valid.shape[0]
@@ -209,20 +209,21 @@ def _raster_kernel(
         # dynamically rotate the wanted lane to position 0
         id_row = ids_ref[pl.ds(n // 128, 1), :]
         tid = pltpu.roll(id_row, shift=-(n % 128), axis=1)[0, 0].astype(jnp.int32)
-        ea0 = tri_ref[tid, 0]
-        ea1 = tri_ref[tid, 1]
-        ea2 = tri_ref[tid, 2]
-        eb0 = tri_ref[tid, 3]
-        eb1 = tri_ref[tid, 4]
-        eb2 = tri_ref[tid, 5]
-        ec0 = tri_ref[tid, 6]
-        ec1 = tri_ref[tid, 7]
-        ec2 = tri_ref[tid, 8]
-        za = tri_ref[tid, 9]
-        zbc = tri_ref[tid, 10]
-        zcc = tri_ref[tid, 11]
-        ymin = tri_ref[tid, 12]
-        ymax = tri_ref[tid, 13]
+        trow = tri_ref[pl.ds(tid, 1), :]  # one (1,16) vector load
+        ea0 = trow[0, 0]
+        ea1 = trow[0, 1]
+        ea2 = trow[0, 2]
+        eb0 = trow[0, 3]
+        eb1 = trow[0, 4]
+        eb2 = trow[0, 5]
+        ec0 = trow[0, 6]
+        ec1 = trow[0, 7]
+        ec2 = trow[0, 8]
+        za = trow[0, 9]
+        zbc = trow[0, 10]
+        zcc = trow[0, 11]
+        ymin = trow[0, 12]
+        ymax = trow[0, 13]
 
         b0 = jnp.clip(
             jnp.floor((ymin - 0.5 - y0f) / 8.0).astype(jnp.int32), 0, BANDS - 1
@@ -259,16 +260,17 @@ def _raster_kernel(
 
             @pl.when(jnp.any(any_pass))
             def _():
-                mat = attr_ref[tid, 18]
+                arow = attr_ref[pl.ds(tid, 1), :]  # one (1,24) vector load
+                mat = arow[0, 18]
                 cur_m = gbuf_ref[0, CH_MAT, row, :]
                 gbuf_ref[0, CH_MAT, row, :] = jnp.where(any_pass, mat, cur_m)
                 cur_z = gbuf_ref[0, CH_Z, row, :]
                 gbuf_ref[0, CH_Z, row, :] = jnp.where(any_pass, zz, cur_z)
                 if with_attrs:
                     for ch in range(6):
-                        a = attr_ref[tid, ch]
-                        bb = attr_ref[tid, 6 + ch]
-                        cc = attr_ref[tid, 12 + ch]
+                        a = arow[0, ch]
+                        bb = arow[0, 6 + ch]
+                        cc = arow[0, 12 + ch]
                         val = a * xs + bb * ys + cc
                         cur = gbuf_ref[0, ch, row, :]
                         gbuf_ref[0, ch, row, :] = jnp.where(any_pass, val, cur)

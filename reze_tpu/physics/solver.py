@@ -76,15 +76,29 @@ def color_joints(pm: PhysicsModel) -> np.ndarray:
     return colors
 
 
+BROADPHASE_SLACK = 5.0  # model units of allowed drift from bind placement
+
+
 def build_pairs(pm: PhysicsModel) -> tuple[np.ndarray, np.ndarray]:
     """Static candidate collision pairs (i, j) honoring group masks,
-    no-contact flags, and at-least-one-dynamic."""
+    no-contact flags, at-least-one-dynamic, and a bind-pose distance prune
+    (MMD spring-jointed bodies stay near their bind placement, so pairs
+    farther apart than their combined extents + slack can never touch)."""
     nb = pm.bone_index.shape[0]
     group = np.asarray(pm.group)
     mask = np.asarray(pm.collision_mask)
     valid = np.asarray(pm.valid)
     dyn = np.asarray(pm.is_dynamic)
     noc = np.asarray(pm.no_contact)
+    size = np.asarray(pm.size)
+    # bind-pose body world position = bone abs pos + offset; reconstruct from
+    # offsets (inverse-bind is translation-only so offset_pos is bone-local)
+    # — we only have offsets here, so use them relative to inv bind:
+    # body bind pos = -inv_bind(bone) + offset. bone abs pos = -inv_bind.
+    # PhysicsModel doesn't store bone positions; approximate with offsets'
+    # world placement via bind reconstruction below.
+    reach = size.sum(axis=1) + BROADPHASE_SLACK
+    bind_pos = np.asarray(pm.bind_pos)
     pairs = []
     for i in range(nb):
         if not valid[i] or noc[i]:
@@ -95,6 +109,8 @@ def build_pairs(pm: PhysicsModel) -> tuple[np.ndarray, np.ndarray]:
             if not (dyn[i] or dyn[j]):
                 continue
             if not ((1 << group[i]) & mask[j]) or not ((1 << group[j]) & mask[i]):
+                continue
+            if np.linalg.norm(bind_pos[i] - bind_pos[j]) > reach[i] + reach[j]:
                 continue
             pairs.append((i, j))
     if not pairs:
@@ -305,14 +321,15 @@ def _solve_joints_color(
     return pos, quat
 
 
-def _solve_contacts(
+def _detect_contacts(
     pm: PhysicsModel,
     tables: SolverTables,
     pos: Array,
     quat: Array,
     inv_mass: Array,
-) -> tuple[Array, Array]:
-    """One Jacobi iteration of non-penetration contacts (under-relaxed)."""
+):
+    """Narrowphase, once per substep: contact frames + generalized masses
+    stay fixed across solver iterations (only penetration is re-measured)."""
     i = tables.pair_i
     j = tables.pair_j
     a0, a1, ra = _shape_segment(pm, pos, quat)
@@ -320,34 +337,50 @@ def _solve_contacts(
     delta = c2 - c1
     dist = jnp.linalg.norm(delta, axis=-1)
     rsum = ra[i] + ra[j]
-    pen = rsum - dist  # > 0 means penetration
     n = delta / jnp.maximum(dist, 1e-8)[:, None]
-    active = pen > 0.0
+    # keep only near contacts (small positive margin for convergence motion)
+    active = (rsum - dist) > -0.1 * rsum
 
     inv_inertia_w = _inv_inertia_world(pm, quat)
-    wi = inv_mass[i]
-    wj = inv_mass[j]
-    pi_ = c1 + n * ra[i][:, None]
-    pj_ = c2 - n * ra[j][:, None]
-    ri = pi_ - pos[i]
-    rj = pj_ - pos[j]
+    ri = (c1 + n * ra[i][:, None]) - pos[i]
+    rj = (c2 - n * ra[j][:, None]) - pos[j]
     ri_x_n = jnp.cross(ri, n)
     rj_x_n = jnp.cross(rj, n)
     w_sum = (
-        wi + wj
+        inv_mass[i] + inv_mass[j]
         + jnp.einsum("bi,bij,bj->b", ri_x_n, inv_inertia_w[i], ri_x_n)
         + jnp.einsum("bi,bij,bj->b", rj_x_n, inv_inertia_w[j], rj_x_n)
     )
-    dlam = jnp.where(active & (w_sum > 0), pen / jnp.maximum(w_sum, 1e-9), 0.0)
-    dlam = dlam * _CONTACT_RELAX
-    imp = -n * dlam[:, None]  # push i along -n, j along +n
+    ii = jnp.einsum("bij,bj->bi", inv_inertia_w[i], jnp.cross(ri, n))
+    jj = jnp.einsum("bij,bj->bi", inv_inertia_w[j], jnp.cross(rj, n))
+    return {
+        "n": n, "ri": ri, "rj": rj, "rsum": rsum, "active": active,
+        "w_sum": w_sum, "rot_i": ii, "rot_j": jj,
+    }
 
+
+def _apply_contacts(
+    cache, tables: SolverTables, pos: Array, quat: Array, inv_mass: Array
+) -> tuple[Array, Array]:
+    """One position iteration along the cached contact frames."""
+    i = tables.pair_i
+    j = tables.pair_j
+    n = cache["n"]
+    # current separation along the fixed normal with fixed attachment offsets
+    d = jnp.sum(((pos[j] + cache["rj"]) - (pos[i] + cache["ri"])) * n, axis=-1)
+    pen = -d  # attachment points coincide at touch; d<0 means penetration
+    dlam = jnp.where(
+        cache["active"] & (cache["w_sum"] > 0) & (pen > 0),
+        pen / jnp.maximum(cache["w_sum"], 1e-9),
+        0.0,
+    ) * _CONTACT_RELAX
+    imp = -n * dlam[:, None]
     dpos = jnp.zeros_like(pos)
-    dpos = dpos.at[i].add(imp * wi[:, None])
-    dpos = dpos.at[j].add(-imp * wj[:, None])
+    dpos = dpos.at[i].add(imp * inv_mass[i][:, None])
+    dpos = dpos.at[j].add(-imp * inv_mass[j][:, None])
     drot = jnp.zeros_like(pos)
-    drot = drot.at[i].add(jnp.einsum("bij,bj->bi", inv_inertia_w[i], jnp.cross(ri, imp)))
-    drot = drot.at[j].add(-jnp.einsum("bij,bj->bi", inv_inertia_w[j], jnp.cross(rj, imp)))
+    drot = drot.at[i].add(cache["rot_i"] * dlam[:, None])
+    drot = drot.at[j].add(-cache["rot_j"] * dlam[:, None])
     return pos + dpos, _quat_add_rot(quat, drot)
 
 
@@ -423,14 +456,16 @@ def step(
         p1 = jnp.where(dyn, pos + v * h, pos)
         q1 = jnp.where(dyn, _quat_add_rot(quat, w * h), quat)
 
-        # constraint solve
+        # constraint solve: narrowphase once, then iterate
+        contacts = _detect_contacts(pm, tables, p1, q1, inv_mass)
+
         def solver_iter(_, pq):
             p, q = pq
             for color in range(tables.n_colors):
                 p, q = _solve_joints_color(
                     pm, tables, jnp.int32(color), h, p, q, inv_mass
                 )
-            p, q = _solve_contacts(pm, tables, p, q, inv_mass)
+            p, q = _apply_contacts(contacts, tables, p, q, inv_mass)
             return (p, q)
 
         p2, q2 = jax.lax.fori_loop(

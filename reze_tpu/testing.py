@@ -80,7 +80,9 @@ def make_test_model(n_bones: int = 8, j_pad: int = 8, v_pad: int = 64) -> T.Mode
     geometry = T.Geometry(
         positions=positions, normals=normals, uvs=uvs,
         tris=tris_arr, tri_mat=mat_arr,
-        outline_tris=tris_arr.copy(), outline_tri_mat=mat_arr.copy(),
+        # reversed winding: on a closed mesh the inverted hull's camera-facing
+        # side is culled; flat test quads need the flip to behave the same
+        outline_tris=tris_arr[:, [0, 2, 1]].copy(), outline_tri_mat=mat_arr.copy(),
         n_vertices=16, class_ranges=ranges, outline_class_ranges=ranges,
     )
 
@@ -108,8 +110,10 @@ def make_test_model(n_bones: int = 8, j_pad: int = 8, v_pad: int = 64) -> T.Mode
         is_hair=np.array([False, False, True, False]),
         is_transparent=np.array([False, False, False, True]),
     )
-    texels = rng.integers(0, 255, (1, 8, 8, 4), np.uint8)
-    texels[..., 3] = 255
+    # smooth gradient texture (random noise would exaggerate the
+    # nearest-vs-bilinear difference between renderer paths)
+    gy, gx = np.meshgrid(np.linspace(60, 220, 8), np.linspace(40, 240, 8), indexing="ij")
+    texels = np.stack([gx, gy, 0.5 * (gx + gy), np.full((8, 8), 255.0)], -1)[None]
     atlas = T.TextureAtlas(texels=texels.astype(np.uint8), sizes=np.array([[8, 8]], np.int32))
 
     morphs_off = np.zeros((2, v_pad, 3), np.float32)
@@ -140,7 +144,7 @@ def make_test_model(n_bones: int = 8, j_pad: int = 8, v_pad: int = 64) -> T.Mode
         restitution=np.zeros(nb, np.float32), friction=np.full(nb, 0.5, np.float32),
         is_dynamic=is_dyn, no_contact=np.ones(nb, bool),
         group=np.zeros(nb, np.int32), collision_mask=np.zeros(nb, np.int32),
-        body_offset_pos=f3(), body_offset_quat=q0,
+        body_offset_pos=f3(), body_offset_quat=q0, bind_pos=f3(),
         valid=np.array([True, True] + [False] * (nb - 2)),
         joint_body_a=np.array([0] + [-1] * (nj - 1), np.int32),
         joint_body_b=np.array([1] + [-1] * (nj - 1), np.int32),

@@ -35,6 +35,7 @@ def make_pm(n=2, nj=1, *, spring_ang=0.0, contact_pair=False):
         collision_mask=mask,
         body_offset_pos=f3(),
         body_offset_quat=q0,
+        bind_pos=f3(),
         valid=np.ones(n, bool),
         joint_body_a=np.array([0] + [-1] * (nj - 1), np.int32),
         joint_body_b=np.array([1] + [-1] * (nj - 1), np.int32),
