@@ -65,6 +65,9 @@ class EngineConfig:
     # renderer backend: "auto" = Pallas kernels on TPU, XLA path on CPU;
     # "tpu" / "xla" force one
     renderer: str = "auto"
+    # deferred 2-layer compositing: one unified shade per frame instead of
+    # one per material pass (exact for <=2 overlapping fragments per pixel)
+    layered_shading: bool = True
 
     @property
     def bloom_size(self) -> tuple[int, int]:

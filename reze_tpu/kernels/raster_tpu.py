@@ -52,9 +52,9 @@ N_CH = 9
 
 
 class PassTables(NamedTuple):
-    tri_tab: jax.Array  # (C, TRI_CHUNK, 16) f32 plane equations + bbox
-    attr_tab: jax.Array  # (C, TRI_CHUNK, 24) f32 interpolant planes + matid
-    ids: jax.Array  # (N/(2048*128), 2048, 128) f32 bin-sorted triangle ids
+    tri_tab: jax.Array  # (T, 16) f32 plane equations + bbox
+    attr_tab: jax.Array  # (T, 24) f32 interpolant planes + matid
+    ids: jax.Array  # (N/128, 128) f32 bin-sorted triangle ids
     starts: jax.Array  # (B,) i32
     counts: jax.Array  # (B,) i32
 
@@ -167,10 +167,10 @@ def _raster_kernel(
     starts_ref, counts_ref,
     # VMEM inputs
     tri_ref, attr_ref, ids_ref,
-    zbuf_in_ref,  # (1, S, 32, 128) incoming depth (aliased storage)
+    zbuf_in_ref,  # (BPS, S, 32, 128) incoming depth (aliased storage)
     # outputs
-    zbuf_ref,  # (1, S, 32, 128) aliased in/out
-    gbuf_ref,  # (1, N_CH, 32, 128)
+    zbuf_ref,  # (BPS, S, 32, 128) aliased in/out
+    gbuf_ref,  # (BPS, N_CH, 32, 128)
     # scratch
     won_ref,  # (S, 32, 128) f32 0/1
     *,
@@ -178,19 +178,36 @@ def _raster_kernel(
     n_samples: int,
     depth_write: bool,
     with_attrs: bool,
+    bps: int,
 ):
-    b = pl.program_id(0)
+    # several bins per grid step amortize the per-step block-DMA latency
+    # (~30us/step) over BPS tiles
+    for sub in range(bps):
+        _raster_one_bin(
+            starts_ref, counts_ref, tri_ref, attr_ref, ids_ref,
+            zbuf_in_ref, zbuf_ref, gbuf_ref, won_ref,
+            sub=sub, bx=bx, n_samples=n_samples,
+            depth_write=depth_write, with_attrs=with_attrs, bps=bps,
+        )
+
+
+def _raster_one_bin(
+    starts_ref, counts_ref, tri_ref, attr_ref, ids_ref,
+    zbuf_in_ref, zbuf_ref, gbuf_ref, won_ref,
+    *, sub, bx, n_samples, depth_write, with_attrs, bps,
+):
+    b = pl.program_id(0) * bps + sub
     x0 = (b % bx) * TILE_W
     y0 = (b // bx) * TILE_H
     x0f = x0.astype(jnp.float32)
     y0f = y0.astype(jnp.float32)
 
     # init outputs (blocked output contents are undefined until written, even
-    # with input_output_aliases — copy the incoming depth explicitly)
-    zbuf_ref[0] = zbuf_in_ref[0]
-    gbuf_ref[0] = jnp.zeros((N_CH, TILE_H, TILE_W), jnp.float32)
-    gbuf_ref[0, CH_MAT] = jnp.full((TILE_H, TILE_W), -1.0)
-    won_ref[:] = jnp.zeros((n_samples, TILE_H, TILE_W), jnp.float32)
+    # with input_output_aliases — copy the incoming depth explicitly).
+    # Only CH_MAT needs clearing: every other G-buffer channel is either
+    # gated on CH_MAT >= 0 downstream or overwritten (CH_COVER at finalize).
+    zbuf_ref[sub] = zbuf_in_ref[sub]
+    gbuf_ref[sub, CH_MAT] = jnp.full((TILE_H, TILE_W), -1.0)
 
     xs = (
         jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1).astype(jnp.float32)
@@ -202,6 +219,26 @@ def _raster_kernel(
 
     start = starts_ref[b]
     count = counts_ref[b]
+
+    @pl.when(count == 0)
+    def _():
+        gbuf_ref[sub, CH_COVER] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    @pl.when(count > 0)
+    def _():
+        _raster_bin_tris(
+            start, count, sub, x0f, y0f, xs, row_iota,
+            tri_ref, attr_ref, ids_ref, zbuf_ref, gbuf_ref, won_ref,
+            n_samples=n_samples, depth_write=depth_write, with_attrs=with_attrs,
+        )
+
+
+def _raster_bin_tris(
+    start, count, sub, x0f, y0f, xs, row_iota,
+    tri_ref, attr_ref, ids_ref, zbuf_ref, gbuf_ref, won_ref,
+    *, n_samples, depth_write, with_attrs,
+):
+    won_ref[:] = jnp.zeros((n_samples, TILE_H, TILE_W), jnp.float32)
 
     def tri_body(k, _):
         n = start + k
@@ -249,10 +286,10 @@ def _raster_kernel(
                 oz = za * dx + zbc * dy
                 inside = ((e0 + o0) >= 0) & ((e1 + o1) >= 0) & ((e2 + o2) >= 0)
                 zs = zz + oz
-                zcur = zbuf_ref[0, s, row, :]
+                zcur = zbuf_ref[sub, s, row, :]
                 passed = inside & (zs <= zcur) & (zs >= 0.0) & (zs <= 1.0)
                 if depth_write:
-                    zbuf_ref[0, s, row, :] = jnp.where(passed, zs, zcur)
+                    zbuf_ref[sub, s, row, :] = jnp.where(passed, zs, zcur)
                 won_ref[s, row, :] = jnp.where(
                     passed, 1.0, won_ref[s, row, :]
                 )
@@ -262,18 +299,18 @@ def _raster_kernel(
             def _():
                 arow = attr_ref[pl.ds(tid, 1), :]  # one (1,24) vector load
                 mat = arow[0, 18]
-                cur_m = gbuf_ref[0, CH_MAT, row, :]
-                gbuf_ref[0, CH_MAT, row, :] = jnp.where(any_pass, mat, cur_m)
-                cur_z = gbuf_ref[0, CH_Z, row, :]
-                gbuf_ref[0, CH_Z, row, :] = jnp.where(any_pass, zz, cur_z)
+                cur_m = gbuf_ref[sub, CH_MAT, row, :]
+                gbuf_ref[sub, CH_MAT, row, :] = jnp.where(any_pass, mat, cur_m)
+                cur_z = gbuf_ref[sub, CH_Z, row, :]
+                gbuf_ref[sub, CH_Z, row, :] = jnp.where(any_pass, zz, cur_z)
                 if with_attrs:
                     for ch in range(6):
                         a = arow[0, ch]
                         bb = arow[0, 6 + ch]
                         cc = arow[0, 12 + ch]
                         val = a * xs + bb * ys + cc
-                        cur = gbuf_ref[0, ch, row, :]
-                        gbuf_ref[0, ch, row, :] = jnp.where(any_pass, val, cur)
+                        cur = gbuf_ref[sub, ch, row, :]
+                        gbuf_ref[sub, ch, row, :] = jnp.where(any_pass, val, cur)
 
             return 0
 
@@ -286,7 +323,7 @@ def _raster_kernel(
     cover = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     for s in range(n_samples):
         cover = cover + won_ref[s]
-    gbuf_ref[0, CH_COVER] = cover * (1.0 / n_samples)
+    gbuf_ref[sub, CH_COVER] = cover * (1.0 / n_samples)
 
 
 def raster_pass_tpu(
@@ -300,16 +337,18 @@ def raster_pass_tpu(
 ) -> tuple[jax.Array, jax.Array]:
     """Run one raster pass; returns (zbuf', gbuf (B, N_CH, 32, 128))."""
     b, s = zbuf.shape[0], zbuf.shape[1]
+    bps = next(n for n in (8, 4, 2, 1) if b % n == 0)
     kernel = functools.partial(
         _raster_kernel,
         bx=bx,
         n_samples=s,
         depth_write=depth_write,
         with_attrs=with_attrs,
+        bps=bps,
     )
     zbuf_out, gbuf = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // bps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # starts
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
@@ -317,17 +356,17 @@ def raster_pass_tpu(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # attr_tab
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ids
             pl.BlockSpec(
-                (1, s, TILE_H, TILE_W), lambda i: (i, 0, 0, 0),
+                (bps, s, TILE_H, TILE_W), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),  # zbuf (aliased)
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, s, TILE_H, TILE_W), lambda i: (i, 0, 0, 0),
+                (bps, s, TILE_H, TILE_W), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, N_CH, TILE_H, TILE_W), lambda i: (i, 0, 0, 0),
+                (bps, N_CH, TILE_H, TILE_W), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],

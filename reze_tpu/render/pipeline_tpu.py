@@ -125,35 +125,67 @@ def render_frame_fast(
         )
         return SF.blend(color, rgb, alpha, cover, mask), g
 
-    # 1. opaque
-    zbuf, gbuf = run_raster(CLASS_OPAQUE, raster.CULL_NONE, False, True)
-    color, _ = shade_blend(color, gbuf)
-    # 2. eyes (+ stencil write)
-    zbuf, gbuf = run_raster(CLASS_EYE, raster.CULL_FRONT, False, True)
-    color, g = shade_blend(color, gbuf)
-    stencil = jnp.where(
-        (g[RT.CH_MAT] >= 0) & (g[RT.CH_COVER] > 0),
-        jnp.int32(cfg.stencil_eye_value),
-        stencil,
-    )
-    # 3. opaque outlines
-    zbuf, gbuf = run_raster(CLASS_OPAQUE, raster.CULL_BACK, True, True)
-    g = _untile_gbuf(gbuf, dims)
-    color = SF.blend(color, *SF.shade_outline_fast(g, packed))
-    # 4. hair (stencil-split alpha)
-    zbuf, gbuf = run_raster(CLASS_HAIR, raster.CULL_FRONT, False, True)
-    color, _ = shade_blend(color, gbuf, use_stencil=True)
-    # 5. hair outlines (no depth write)
-    zbuf, gbuf = run_raster(CLASS_HAIR, raster.CULL_BACK, True, False)
-    g = _untile_gbuf(gbuf, dims)
-    color = SF.blend(color, *SF.shade_outline_fast(g, packed))
-    # 6. transparent
-    zbuf, gbuf = run_raster(CLASS_TRANSPARENT, raster.CULL_NONE, False, True)
-    color, _ = shade_blend(color, gbuf)
-    # 7. transparent outlines
-    zbuf, gbuf = run_raster(CLASS_TRANSPARENT, raster.CULL_BACK, True, True)
-    g = _untile_gbuf(gbuf, dims)
-    color = SF.blend(color, *SF.shade_outline_fast(g, packed))
+    if cfg.layered_shading:
+        # Layered deferred path: rasterize all passes (depth state flows in
+        # order), push fragments onto a 2-deep layer stack, shade ONCE per
+        # layer (2 albedo gathers/frame instead of one per material pass).
+        stack = SF.empty_stack(dims.p)
+        zbuf, gbuf = run_raster(CLASS_OPAQUE, raster.CULL_NONE, False, True)
+        stack = SF.push_layer(stack, _untile_gbuf(gbuf, dims), packed, False)
+        zbuf, gbuf = run_raster(CLASS_EYE, raster.CULL_FRONT, False, True)
+        g = _untile_gbuf(gbuf, dims)
+        stack = SF.push_layer(stack, g, packed, False)
+        stencil = jnp.where(
+            (g[RT.CH_MAT] >= 0) & (g[RT.CH_COVER] > 0),
+            jnp.int32(cfg.stencil_eye_value), stencil,
+        )
+        zbuf, gbuf = run_raster(CLASS_OPAQUE, raster.CULL_BACK, True, True)
+        stack = SF.push_layer(stack, _untile_gbuf(gbuf, dims), packed, True)
+        zbuf, gbuf = run_raster(CLASS_HAIR, raster.CULL_FRONT, False, True)
+        stack = SF.push_layer(
+            stack, _untile_gbuf(gbuf, dims), packed, False,
+            stencil=stencil, stencil_eye_value=cfg.stencil_eye_value,
+        )
+        zbuf, gbuf = run_raster(CLASS_HAIR, raster.CULL_BACK, True, False)
+        stack = SF.push_layer(stack, _untile_gbuf(gbuf, dims), packed, True)
+        zbuf, gbuf = run_raster(CLASS_TRANSPARENT, raster.CULL_NONE, False, True)
+        stack = SF.push_layer(stack, _untile_gbuf(gbuf, dims), packed, False)
+        zbuf, gbuf = run_raster(CLASS_TRANSPARENT, raster.CULL_BACK, True, True)
+        stack = SF.push_layer(stack, _untile_gbuf(gbuf, dims), packed, True)
+        color = SF.composite_stack(
+            stack, packed, atlas_stride, lights, eye_pos, inv_vp,
+            dims.wp, dims.hp, cfg.rim_light_intensity,
+        )
+    else:
+        # 1. opaque
+        zbuf, gbuf = run_raster(CLASS_OPAQUE, raster.CULL_NONE, False, True)
+        color, _ = shade_blend(color, gbuf)
+        # 2. eyes (+ stencil write)
+        zbuf, gbuf = run_raster(CLASS_EYE, raster.CULL_FRONT, False, True)
+        color, g = shade_blend(color, gbuf)
+        stencil = jnp.where(
+            (g[RT.CH_MAT] >= 0) & (g[RT.CH_COVER] > 0),
+            jnp.int32(cfg.stencil_eye_value),
+            stencil,
+        )
+        # 3. opaque outlines
+        zbuf, gbuf = run_raster(CLASS_OPAQUE, raster.CULL_BACK, True, True)
+        g = _untile_gbuf(gbuf, dims)
+        color = SF.blend(color, *SF.shade_outline_fast(g, packed))
+        # 4. hair (stencil-split alpha)
+        zbuf, gbuf = run_raster(CLASS_HAIR, raster.CULL_FRONT, False, True)
+        color, _ = shade_blend(color, gbuf, use_stencil=True)
+        # 5. hair outlines (no depth write)
+        zbuf, gbuf = run_raster(CLASS_HAIR, raster.CULL_BACK, True, False)
+        g = _untile_gbuf(gbuf, dims)
+        color = SF.blend(color, *SF.shade_outline_fast(g, packed))
+        # 6. transparent
+        zbuf, gbuf = run_raster(CLASS_TRANSPARENT, raster.CULL_NONE, False, True)
+        color, _ = shade_blend(color, gbuf)
+        # 7. transparent outlines
+        zbuf, gbuf = run_raster(CLASS_TRANSPARENT, raster.CULL_BACK, True, True)
+        g = _untile_gbuf(gbuf, dims)
+        color = SF.blend(color, *SF.shade_outline_fast(g, packed))
 
     img = color.reshape(dims.hp, dims.wp, 3)[: dims.height, : dims.width]
     if cfg.enable_bloom:

@@ -186,3 +186,99 @@ def blend(color, rgb, alpha, cover, mask):
     a = (alpha * cover)[:, None]
     out = rgb * a + color * (1.0 - a)
     return jnp.where(mask[:, None], out, color)
+
+
+# ---------------------------------------------------------------------------
+# Layered deferred shading: all passes push fragments onto a 2-deep per-pixel
+# layer stack (dense selects), then ONE unified shade runs per layer — the
+# per-pixel albedo gather happens twice per frame instead of once per
+# material pass. Exact whenever <=2 fragments survive opacity culling at a
+# pixel (an opaque fragment empties the stack beneath it), which covers this
+# content outside rare triple-translucent overlaps.
+# ---------------------------------------------------------------------------
+
+
+class LayerStack(NamedTuple):
+    gbuf: tuple  # L x (N_CH, P)
+    a_eff: tuple  # L x (P,) blend alpha (material alpha x cover x stencil)
+    outline: tuple  # L x (P,) bool — flat edge-color fragment
+    present: tuple  # L x (P,) bool
+
+
+def empty_stack(p: int) -> LayerStack:
+    z = jnp.zeros((RT.N_CH, p))
+    zp = jnp.zeros((p,))
+    f = jnp.zeros((p,), bool)
+    return LayerStack((z, z), (zp, zp), (f, f), (f, f))
+
+
+def push_layer(
+    stack: LayerStack,
+    gbuf: jax.Array,  # (N_CH, P)
+    packed: PackedMaterials,
+    outline: bool,
+    stencil: jax.Array | None = None,
+    stencil_eye_value: int = 1,
+) -> LayerStack:
+    """Push one pass's fragments in draw order."""
+    mat_f = gbuf[RT.CH_MAT]
+    cover = gbuf[RT.CH_COVER]
+    params = fetch_params(jnp.maximum(mat_f, 0.0), packed)
+    alpha = params[:, 8] if outline else params[:, 0]
+    if stencil is not None and not outline:
+        alpha = alpha * jnp.where(
+            (stencil == stencil_eye_value) & (params[:, 10] > 0.5), 0.5, 1.0
+        )
+    a_eff = alpha * cover
+    present = (mat_f >= 0.0) & (a_eff >= 0.001)
+    opaque = present & (a_eff > 0.999)
+    translucent = present & ~opaque
+
+    l0g, l1g = stack.gbuf
+    l0a, l1a = stack.a_eff
+    l0o, l1o = stack.outline
+    l0p, l1p = stack.present
+
+    # below-slot: keep old l0 unless the new fragment displaces l1 into it or
+    # erases everything (opaque)
+    new_l0g = jnp.where(opaque[None, :], 0.0, jnp.where((translucent & l1p)[None, :], l1g, l0g))
+    new_l0a = jnp.where(opaque, 0.0, jnp.where(translucent & l1p, l1a, l0a))
+    new_l0o = jnp.where(opaque, False, jnp.where(translucent & l1p, l1o, l0o))
+    new_l0p = jnp.where(opaque, False, jnp.where(translucent, l1p, l0p))
+
+    new_l1g = jnp.where(present[None, :], gbuf, l1g)
+    new_l1a = jnp.where(present, a_eff, l1a)
+    new_l1o = jnp.where(present, bool(outline), l1o)
+    new_l1p = present | l1p
+
+    # when the new fragment is absent and l1 was empty, everything stays
+    return LayerStack(
+        (new_l0g, new_l1g), (new_l0a, new_l1a), (new_l0o, new_l1o), (new_l0p, new_l1p)
+    )
+
+
+def composite_stack(
+    stack: LayerStack,
+    packed: PackedMaterials,
+    atlas_stride: int,
+    lights: Lights,
+    eye_pos: jax.Array,
+    inv_view_proj: jax.Array,
+    wp: int,
+    hp: int,
+    rim_intensity: float,
+) -> jax.Array:
+    """Shade both layers once and composite bottom-up -> (P, 3)."""
+    out = jnp.zeros((wp * hp, 3))
+    for l in range(2):
+        g = stack.gbuf[l]
+        toon_rgb, _, _, _ = shade_material_fast(
+            g, packed, atlas_stride, lights, eye_pos, inv_view_proj,
+            wp, hp, rim_intensity,
+        )
+        params = fetch_params(jnp.maximum(g[RT.CH_MAT], 0.0), packed)
+        edge_rgb = params[:, 5:8]
+        rgb = jnp.where(stack.outline[l][:, None], edge_rgb, toon_rgb)
+        a = jnp.where(stack.present[l], stack.a_eff[l], 0.0)[:, None]
+        out = rgb * a + out * (1.0 - a)
+    return out

@@ -20,6 +20,7 @@ def log(*a):
 
 
 def case(T, maxb, W=512, H=512, empty=False):
+    global rng
     c2 = rng.uniform(-0.95, 0.95, (T, 1, 2)) + rng.uniform(-0.03, 0.03, (T, 3, 2))
     z2 = rng.uniform(0.1, 0.9, (T, 1, 1)) * np.ones((1, 3, 1))
     corners = jnp.asarray(
@@ -51,5 +52,8 @@ def case(T, maxb, W=512, H=512, empty=False):
 
 
 for spec in sys.argv[1:]:
-    t, maxb, *rest = spec.split(",")
-    case(int(t), int(maxb), empty=bool(rest))
+    parts = spec.split(",")
+    t, maxb = int(parts[0]), int(parts[1])
+    size = int(parts[2]) if len(parts) > 2 and parts[2].isdigit() else 512
+    empty = "empty" in parts
+    case(t, maxb, W=size, H=size, empty=empty)
