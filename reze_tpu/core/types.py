@@ -54,7 +54,7 @@ class EngineConfig:
     gravity: tuple[float, float, float] = (0.0, -98.0, 0.0)
     physics_fixed_dt: float = 1.0 / 75.0
     physics_max_substeps: int = 10
-    physics_solver_iterations: int = 4
+    physics_solver_iterations: int = 10
     enable_physics: bool = True
     enable_ik: bool = True
     enable_bloom: bool = True

@@ -65,6 +65,42 @@ def make_batched_step(
     single = make_step(model, cfg, dims)
     track_axes = 0 if per_character_clips else None
 
+    use_fast = cfg.renderer == "tpu" or (
+        cfg.renderer == "auto" and jax.default_backend() != "cpu"
+    )
+
+    if use_fast:
+        # The Pallas raster kernel cannot be vmapped; characters run as a
+        # device-side lax.map (sequential per chip), and multi-chip crowds
+        # shard the batch with shard_map so each chip maps its local slice.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P2
+
+        def batched(states, dt, view_projs, eyes, lights, track, breath):
+            def body(x):
+                if per_character_clips:
+                    s, vp, eye, tr = x
+                else:
+                    s, vp, eye = x
+                    tr = track
+                return single(s, dt, vp, eye, lights, tr, breath)
+
+            xs = (
+                (states, view_projs, eyes, track)
+                if per_character_clips
+                else (states, view_projs, eyes)
+            )
+            if mesh.size > 1:
+                mapped = shard_map(
+                    lambda local_xs: jax.lax.map(body, local_xs),
+                    mesh=mesh, in_specs=P2("data"), out_specs=P2("data"),
+                    check_rep=False,
+                )
+                return mapped(xs)
+            return jax.lax.map(body, xs)
+
+        return jax.jit(batched, donate_argnums=(0,))
+
     def batched(states, dt, view_projs, eyes, lights, track, breath):
         return jax.vmap(
             single, in_axes=(0, None, 0, 0, None, track_axes, None)

@@ -76,29 +76,15 @@ def color_joints(pm: PhysicsModel) -> np.ndarray:
     return colors
 
 
-BROADPHASE_SLACK = 5.0  # model units of allowed drift from bind placement
-
-
 def build_pairs(pm: PhysicsModel) -> tuple[np.ndarray, np.ndarray]:
     """Static candidate collision pairs (i, j) honoring group masks,
-    no-contact flags, at-least-one-dynamic, and a bind-pose distance prune
-    (MMD spring-jointed bodies stay near their bind placement, so pairs
-    farther apart than their combined extents + slack can never touch)."""
+    no-contact flags, and at-least-one-dynamic."""
     nb = pm.bone_index.shape[0]
     group = np.asarray(pm.group)
     mask = np.asarray(pm.collision_mask)
     valid = np.asarray(pm.valid)
     dyn = np.asarray(pm.is_dynamic)
     noc = np.asarray(pm.no_contact)
-    size = np.asarray(pm.size)
-    # bind-pose body world position = bone abs pos + offset; reconstruct from
-    # offsets (inverse-bind is translation-only so offset_pos is bone-local)
-    # — we only have offsets here, so use them relative to inv bind:
-    # body bind pos = -inv_bind(bone) + offset. bone abs pos = -inv_bind.
-    # PhysicsModel doesn't store bone positions; approximate with offsets'
-    # world placement via bind reconstruction below.
-    reach = size.sum(axis=1) + BROADPHASE_SLACK
-    bind_pos = np.asarray(pm.bind_pos)
     pairs = []
     for i in range(nb):
         if not valid[i] or noc[i]:
@@ -109,8 +95,6 @@ def build_pairs(pm: PhysicsModel) -> tuple[np.ndarray, np.ndarray]:
             if not (dyn[i] or dyn[j]):
                 continue
             if not ((1 << group[i]) & mask[j]) or not ((1 << group[j]) & mask[i]):
-                continue
-            if np.linalg.norm(bind_pos[i] - bind_pos[j]) > reach[i] + reach[j]:
                 continue
             pairs.append((i, j))
     if not pairs:
@@ -260,9 +244,7 @@ def _solve_joints_color(
     dq_acc = jnp.zeros_like(pos)  # rotation vectors
 
     # ---- linear: constrain d (in frame A basis) into [min, max], plus
-    # spring toward 0 when stiffness != 0. All six (axis x {limit, spring})
-    # corrections are computed against the same pre-solve state and applied
-    # with one accumulated impulse per joint (one scatter set per color).
+    # spring toward 0 when stiffness != 0
     frame_a_rot = m3.mat3_from_quat(qa)  # column k = world direction of axis k
     d_world = pb - pa
     axes = jnp.swapaxes(frame_a_rot, -1, -2)  # (NJ, 3axes, 3world)
@@ -270,25 +252,37 @@ def _solve_joints_color(
 
     lo = pm.joint_lin_min
     hi = pm.joint_lin_max
+    # hard violation outside [lo, hi]
     viol = jnp.where(d_axes < lo, d_axes - lo, jnp.where(d_axes > hi, d_axes - hi, 0.0))
+    # spring toward 0 with compliance 1/(k h^2) — fold into a softened target
     k_lin = pm.joint_spring_lin
     alpha = jnp.where(k_lin > 0, 1.0 / jnp.maximum(k_lin, 1e-6), 0.0) / jnp.maximum(h * h, 1e-12)
     spring_c = jnp.where(k_lin > 0, d_axes, 0.0)
 
-    ra = pa - pos[a]
-    rb = pb - pos[b]
-    # generalized inverse masses per axis: w = wa + wb + (r x n) I^-1 (r x n)
-    ra_x = jnp.cross(ra[:, None, :], axes)  # (NJ, 3axes, 3)
-    rb_x = jnp.cross(rb[:, None, :], axes)
-    w_lin = (
-        wa[:, None] + wb[:, None]
-        + jnp.einsum("bki,bij,bkj->bk", ra_x, inv_inertia_w[a], ra_x)
-        + jnp.einsum("bki,bij,bkj->bk", rb_x, inv_inertia_w[b], rb_x)
-    )  # (NJ, 3)
-    dlam_hard = -viol / jnp.maximum(w_lin, 1e-9)
-    dlam_soft = -spring_c / jnp.maximum(w_lin + alpha, 1e-9)
-    dlam = jnp.where(sel[:, None] & (w_lin > 0), dlam_hard + dlam_soft, 0.0)
-    p_imp = jnp.einsum("bk,bkw->bw", dlam, axes)  # (NJ, 3) total impulse
+    for axis_k in range(3):
+        n = axes[:, axis_k]  # (NJ, 3)
+        for c_val, compliance in ((viol[:, axis_k], jnp.zeros_like(h)), (spring_c[:, axis_k], alpha[:, axis_k])):
+            ra = pa - pos[a]
+            rb = pb - pos[b]
+            ra_x_n = jnp.cross(ra, n)
+            rb_x_n = jnp.cross(rb, n)
+            w_sum = (
+                wa + wb
+                + jnp.einsum("bi,bij,bj->b", ra_x_n, inv_inertia_w[a], ra_x_n)
+                + jnp.einsum("bi,bij,bj->b", rb_x_n, inv_inertia_w[b], rb_x_n)
+            )
+            dlam = -c_val / jnp.maximum(w_sum + compliance, 1e-9)
+            dlam = jnp.where(sel & (w_sum > 0), dlam, 0.0)
+            p_imp = n * dlam[:, None]
+            # B moves +, A moves - (c = d·n, d = pb - pa)
+            dpos = dpos.at[b].add(p_imp * wb[:, None])
+            dpos = dpos.at[a].add(-p_imp * wa[:, None])
+            dq_acc = dq_acc.at[b].add(
+                jnp.einsum("bij,bj->bi", inv_inertia_w[b], jnp.cross(rb, p_imp))
+            )
+            dq_acc = dq_acc.at[a].add(
+                -jnp.einsum("bij,bj->bi", inv_inertia_w[a], jnp.cross(ra, p_imp))
+            )
 
     # ---- angular: relative rotation euler (ZXY) per-axis limits + springs
     q_rel = m3.quat_mul(m3.quat_conj(qa), qb)
@@ -299,37 +293,33 @@ def _solve_joints_color(
     k_ang = pm.joint_spring_ang
     a_alpha = jnp.where(k_ang > 0, 1.0 / jnp.maximum(k_ang, 1e-6), 0.0) / jnp.maximum(h * h, 1e-12)
     a_spring = jnp.where(k_ang > 0, e, 0.0)
-    w_ang = (
-        jnp.einsum("bki,bij,bkj->bk", axes, inv_inertia_w[a], axes)
-        + jnp.einsum("bki,bij,bkj->bk", axes, inv_inertia_w[b], axes)
-    )
-    adlam_hard = -aviol / jnp.maximum(w_ang, 1e-9)
-    adlam_soft = -a_spring / jnp.maximum(w_ang + a_alpha, 1e-9)
-    adlam = jnp.where(sel[:, None] & (w_ang > 0), adlam_hard + adlam_soft, 0.0)
-    t_imp = jnp.einsum("bk,bkw->bw", adlam, axes)
 
-    # apply: one scatter set
-    dpos = dpos.at[b].add(p_imp * wb[:, None])
-    dpos = dpos.at[a].add(-p_imp * wa[:, None])
-    torque_b = jnp.cross(rb, p_imp) + t_imp
-    torque_a = jnp.cross(ra, p_imp) + t_imp
-    dq_acc = dq_acc.at[b].add(jnp.einsum("bij,bj->bi", inv_inertia_w[b], torque_b))
-    dq_acc = dq_acc.at[a].add(-jnp.einsum("bij,bj->bi", inv_inertia_w[a], torque_a))
+    for axis_k in range(3):
+        n = axes[:, axis_k]
+        for c_val, compliance in ((aviol[:, axis_k], jnp.zeros_like(h)), (a_spring[:, axis_k], a_alpha[:, axis_k])):
+            w_sum = (
+                jnp.einsum("bi,bij,bj->b", n, inv_inertia_w[a], n)
+                + jnp.einsum("bi,bij,bj->b", n, inv_inertia_w[b], n)
+            )
+            dlam = -c_val / jnp.maximum(w_sum + compliance, 1e-9)
+            dlam = jnp.where(sel & (w_sum > 0), dlam, 0.0)
+            t_imp = n * dlam[:, None]
+            dq_acc = dq_acc.at[b].add(jnp.einsum("bij,bj->bi", inv_inertia_w[b], t_imp))
+            dq_acc = dq_acc.at[a].add(-jnp.einsum("bij,bj->bi", inv_inertia_w[a], t_imp))
 
     pos = pos + dpos
     quat = _quat_add_rot(quat, dq_acc)
     return pos, quat
 
 
-def _detect_contacts(
+def _solve_contacts(
     pm: PhysicsModel,
     tables: SolverTables,
     pos: Array,
     quat: Array,
     inv_mass: Array,
-):
-    """Narrowphase, once per substep: contact frames + generalized masses
-    stay fixed across solver iterations (only penetration is re-measured)."""
+) -> tuple[Array, Array]:
+    """One Jacobi iteration of non-penetration contacts (under-relaxed)."""
     i = tables.pair_i
     j = tables.pair_j
     a0, a1, ra = _shape_segment(pm, pos, quat)
@@ -337,50 +327,34 @@ def _detect_contacts(
     delta = c2 - c1
     dist = jnp.linalg.norm(delta, axis=-1)
     rsum = ra[i] + ra[j]
+    pen = rsum - dist  # > 0 means penetration
     n = delta / jnp.maximum(dist, 1e-8)[:, None]
-    # keep only near contacts (small positive margin for convergence motion)
-    active = (rsum - dist) > -0.1 * rsum
+    active = pen > 0.0
 
     inv_inertia_w = _inv_inertia_world(pm, quat)
-    ri = (c1 + n * ra[i][:, None]) - pos[i]
-    rj = (c2 - n * ra[j][:, None]) - pos[j]
+    wi = inv_mass[i]
+    wj = inv_mass[j]
+    pi_ = c1 + n * ra[i][:, None]
+    pj_ = c2 - n * ra[j][:, None]
+    ri = pi_ - pos[i]
+    rj = pj_ - pos[j]
     ri_x_n = jnp.cross(ri, n)
     rj_x_n = jnp.cross(rj, n)
     w_sum = (
-        inv_mass[i] + inv_mass[j]
+        wi + wj
         + jnp.einsum("bi,bij,bj->b", ri_x_n, inv_inertia_w[i], ri_x_n)
         + jnp.einsum("bi,bij,bj->b", rj_x_n, inv_inertia_w[j], rj_x_n)
     )
-    ii = jnp.einsum("bij,bj->bi", inv_inertia_w[i], jnp.cross(ri, n))
-    jj = jnp.einsum("bij,bj->bi", inv_inertia_w[j], jnp.cross(rj, n))
-    return {
-        "n": n, "ri": ri, "rj": rj, "rsum": rsum, "active": active,
-        "w_sum": w_sum, "rot_i": ii, "rot_j": jj,
-    }
+    dlam = jnp.where(active & (w_sum > 0), pen / jnp.maximum(w_sum, 1e-9), 0.0)
+    dlam = dlam * _CONTACT_RELAX
+    imp = -n * dlam[:, None]  # push i along -n, j along +n
 
-
-def _apply_contacts(
-    cache, tables: SolverTables, pos: Array, quat: Array, inv_mass: Array
-) -> tuple[Array, Array]:
-    """One position iteration along the cached contact frames."""
-    i = tables.pair_i
-    j = tables.pair_j
-    n = cache["n"]
-    # current separation along the fixed normal with fixed attachment offsets
-    d = jnp.sum(((pos[j] + cache["rj"]) - (pos[i] + cache["ri"])) * n, axis=-1)
-    pen = -d  # attachment points coincide at touch; d<0 means penetration
-    dlam = jnp.where(
-        cache["active"] & (cache["w_sum"] > 0) & (pen > 0),
-        pen / jnp.maximum(cache["w_sum"], 1e-9),
-        0.0,
-    ) * _CONTACT_RELAX
-    imp = -n * dlam[:, None]
     dpos = jnp.zeros_like(pos)
-    dpos = dpos.at[i].add(imp * inv_mass[i][:, None])
-    dpos = dpos.at[j].add(-imp * inv_mass[j][:, None])
+    dpos = dpos.at[i].add(imp * wi[:, None])
+    dpos = dpos.at[j].add(-imp * wj[:, None])
     drot = jnp.zeros_like(pos)
-    drot = drot.at[i].add(cache["rot_i"] * dlam[:, None])
-    drot = drot.at[j].add(-cache["rot_j"] * dlam[:, None])
+    drot = drot.at[i].add(jnp.einsum("bij,bj->bi", inv_inertia_w[i], jnp.cross(ri, imp)))
+    drot = drot.at[j].add(-jnp.einsum("bij,bj->bi", inv_inertia_w[j], jnp.cross(rj, imp)))
     return pos + dpos, _quat_add_rot(quat, drot)
 
 
@@ -456,16 +430,14 @@ def step(
         p1 = jnp.where(dyn, pos + v * h, pos)
         q1 = jnp.where(dyn, _quat_add_rot(quat, w * h), quat)
 
-        # constraint solve: narrowphase once, then iterate
-        contacts = _detect_contacts(pm, tables, p1, q1, inv_mass)
-
+        # constraint solve
         def solver_iter(_, pq):
             p, q = pq
             for color in range(tables.n_colors):
                 p, q = _solve_joints_color(
                     pm, tables, jnp.int32(color), h, p, q, inv_mass
                 )
-            p, q = _apply_contacts(contacts, tables, p, q, inv_mass)
+            p, q = _solve_contacts(pm, tables, p, q, inv_mass)
             return (p, q)
 
         p2, q2 = jax.lax.fori_loop(
@@ -477,7 +449,8 @@ def step(
         w2 = jnp.where(dyn, 2.0 * dq[:, :3] / h * jnp.sign(dq[:, 3:4]), w)
         return p2, q2, v2, w2
 
-    # dynamic trip count: only the substeps that actually run (typ. 1/frame)
+    # dynamic trip count: only the substeps that actually run (typically 1-2
+    # per frame) instead of a masked scan over the max
     pos, quat, lin_vel, ang_vel = jax.lax.fori_loop(
         0, n_sub, substep, (pos, quat, lin_vel, ang_vel)
     )
