@@ -326,6 +326,25 @@ class Engine:
     def get_stats(self) -> EngineStats:
         return EngineStats(self._stats.fps, self._stats.frame_time, self._stats.gpu_memory)
 
+    def profile(self, path: str = "/tmp/reze_trace"):
+        """Trace context for the device timeline (the reference exposes only
+        rolling frame stats, engine.ts:2423-2445; this adds real tracing):
+
+            with engine.profile():
+                engine.render()
+        """
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            jax.profiler.start_trace(path)
+            try:
+                yield
+            finally:
+                jax.profiler.stop_trace()
+
+        return ctx()
+
     # camelCase API parity with the reference ---------------------------
     loadModel = load_model
     loadAnimation = load_animation
