@@ -41,10 +41,12 @@ from ..render.raster import SAMPLE_OFFSETS, TriSetup
 TILE_H = 32
 TILE_W = 128
 BANDS = TILE_H // 8
+# (8, 128) tiles were tried — static band addressing, but ~2x the bin pairs;
+# net loss. 32-row tiles with a dynamic band loop win.
 # The Mosaic toolchain here crashes compiling kernels whose triangle tables
 # exceed ~16384 rows; passes larger than this are sliced at the XLA level
 # (pipeline_tpu._sliced_raster) and their G-buffers merged.
-MAX_TRIS_PER_CALL = 16384
+MAX_TRIS_PER_CALL = 8192
 
 # G-buffer channels
 CH_UIW, CH_VIW, CH_NXIW, CH_NYIW, CH_NZIW, CH_IW, CH_MAT, CH_COVER, CH_Z = range(9)
@@ -54,7 +56,7 @@ N_CH = 9
 class PassTables(NamedTuple):
     tri_tab: jax.Array  # (T, 16) f32 plane equations + bbox
     attr_tab: jax.Array  # (T, 24) f32 interpolant planes + matid
-    ids: jax.Array  # (N/128, 128) f32 bin-sorted triangle ids
+    ids: jax.Array  # (rows<=16384, 128) f32 ids at lane 0 (static-lane reads)
     starts: jax.Array  # (B,) i32
     counts: jax.Array  # (B,) i32
 
@@ -144,15 +146,23 @@ def pack_tables(
     pair_bin = key // shift
     pair_tri = key % shift
     flat = jnp.where(pair_bin < b_total, pair_tri, 0).astype(jnp.float32)
-    # lane-major (rows, 128) layout ((N,1) would be lane-padded x128)
-    n_pad = ((flat.shape[0] + 127) // 128) * 128
-    ids = jnp.pad(flat, (0, n_pad - flat.shape[0])).reshape(-1, 128)
-    starts = jnp.searchsorted(pair_bin, jnp.arange(b_total, dtype=jnp.int32)).astype(
-        jnp.int32
+    # scalar reads need dynamic-sublane/static-lane addressing: one id per
+    # row at lane 0 (the 128x lane padding is why rows are capped at 2x the
+    # per-call triangle limit — padding slots sort last, so real pairs are
+    # kept unless a pass genuinely exceeds ~2 bins/triangle on average).
+    cap = min(flat.shape[0], 2 * MAX_TRIS_PER_CALL)
+    flat = flat[:cap]
+    n_pad = ((cap + 7) // 8) * 8
+    ids = jnp.pad(flat, (0, n_pad - cap))[:, None]
+    ids = jnp.pad(ids, ((0, 0), (0, 127)))  # (rows, 128), id at lane 0
+    bins_arange = jnp.arange(b_total, dtype=jnp.int32)
+    starts = jnp.minimum(
+        jnp.searchsorted(pair_bin, bins_arange).astype(jnp.int32), cap
     )
-    ends = jnp.searchsorted(
-        pair_bin, jnp.arange(b_total, dtype=jnp.int32), side="right"
-    ).astype(jnp.int32)
+    ends = jnp.minimum(
+        jnp.searchsorted(pair_bin, bins_arange, side="right").astype(jnp.int32),
+        cap,
+    )
 
     if t > MAX_TRIS_PER_CALL:
         raise ValueError(
@@ -242,10 +252,9 @@ def _raster_bin_tris(
 
     def tri_body(k, _):
         n = start + k
-        # scalar loads need a static lane index: fetch the 128-wide row and
-        # dynamically rotate the wanted lane to position 0
-        id_row = ids_ref[pl.ds(n // 128, 1), :]
-        tid = pltpu.roll(id_row, shift=-(n % 128), axis=1)[0, 0].astype(jnp.int32)
+        # one id per (chunk, sublane) at lane 0: a plain scalar load, far
+        # cheaper than the former row-load + dynamic-rotate (~137 ns/pair)
+        tid = ids_ref[n, 0].astype(jnp.int32)
         trow = tri_ref[pl.ds(tid, 1), :]  # one (1,16) vector load
         ea0 = trow[0, 0]
         ea1 = trow[0, 1]
@@ -270,7 +279,7 @@ def _raster_bin_tris(
         )
 
         def band_body(bi, _):
-            ys = row_iota + (y0f + (bi * 8).astype(jnp.float32) + 0.5)
+            ys = row_iota + (y0f + bi.astype(jnp.float32) * 8.0 + 0.5)
             e0 = ea0 * xs + eb0 * ys + ec0
             e1 = ea1 * xs + eb1 * ys + ec1
             e2 = ea2 * xs + eb2 * ys + ec2
