@@ -28,9 +28,16 @@ def save_scene(path: str, state: SceneState) -> None:
 
 
 def load_scene(path: str, like: SceneState) -> SceneState:
-    """Restore into the structure of ``like`` (shapes must match)."""
+    """Restore into the structure of ``like`` (treedef + shapes must match)."""
     data = np.load(path)
     leaves, treedef = jax.tree.flatten(like)
+    stored_treedef = bytes(data["__treedef__"]).decode()
+    if stored_treedef != str(treedef):
+        raise ValueError(
+            "checkpoint structure mismatch: stored treedef\n"
+            f"  {stored_treedef}\ndoes not match the target state's\n"
+            f"  {treedef}"
+        )
     restored = []
     for i, ref in enumerate(leaves):
         arr = data[f"leaf_{i}"]
@@ -38,5 +45,9 @@ def load_scene(path: str, like: SceneState) -> SceneState:
             raise ValueError(
                 f"checkpoint leaf {i} shape {arr.shape} != expected {ref.shape}"
             )
-        restored.append(jnp.asarray(arr, dtype=ref.dtype))
+        if arr.dtype != np.dtype(ref.dtype):
+            raise ValueError(
+                f"checkpoint leaf {i} dtype {arr.dtype} != expected {ref.dtype}"
+            )
+        restored.append(jnp.asarray(arr))
     return jax.tree.unflatten(treedef, restored)

@@ -475,7 +475,11 @@ def build_physics(pmx: PMXModel, nb_pad: int | None = None, nj_pad: int | None =
     size = np.ones((nb_pad, 3), np.float32)
     mass = np.zeros(nb_pad, np.float32)
     inv_mass = np.zeros(nb_pad, np.float32)
-    inertia = np.ones((nb_pad, 3), np.float32)
+    # Non-dynamic (static/kinematic/padded) bodies get zero local inertia
+    # -> zero inverse inertia, matching Bullet's localInertia=(0,0,0) for
+    # mass-0 bodies (physics.ts:237-240): anchors must not absorb angular
+    # corrections in the joint/contact solves.
+    inertia = np.zeros((nb_pad, 3), np.float32)
     lin_damp = np.zeros(nb_pad, np.float32)
     ang_damp = np.zeros(nb_pad, np.float32)
     restitution = np.zeros(nb_pad, np.float32)
@@ -503,7 +507,7 @@ def build_physics(pmx: PMXModel, nb_pad: int | None = None, nj_pad: int | None =
         m = rb.mass if dyn else 0.0
         mass[i] = m
         inv_mass[i] = 1.0 / m if (dyn and m > 0) else 0.0
-        inertia[i] = _body_inertia_diag(rb.shape, rb.size, m) if dyn and m > 0 else 1.0
+        inertia[i] = _body_inertia_diag(rb.shape, rb.size, m) if dyn and m > 0 else 0.0
         lin_damp[i] = rb.linear_damping
         ang_damp[i] = rb.angular_damping
         restitution[i] = rb.restitution

@@ -407,12 +407,15 @@ def step(
     inv_mass = jnp.where(pm.is_dynamic & pm.valid, pm.inv_mass, 0.0)
     dyn = (pm.is_dynamic & pm.valid)[:, None]
 
-    # substep accumulator (Bullet stepSimulation semantics)
+    # substep accumulator (Bullet stepSimulation semantics,
+    # btDiscreteDynamicsWorld::stepSimulation): the *unclamped* substep count
+    # is subtracted from the accumulator (excess time is dropped, remainder
+    # always < h), while the executed count clamps to maxSubSteps — so a long
+    # frame never puts the sim into a multi-frame catch-up spiral.
     accum = state.time_accum + dt
-    n_sub = jnp.minimum(
-        jnp.floor(accum / h).astype(jnp.int32), cfg.physics_max_substeps
-    )
-    accum = accum - n_sub.astype(jnp.float32) * h
+    n_total = jnp.floor(accum / h).astype(jnp.int32)
+    accum = accum - n_total.astype(jnp.float32) * h
+    n_sub = jnp.minimum(n_total, cfg.physics_max_substeps)
 
     lin_damp = jnp.power(
         jnp.clip(1.0 - pm.linear_damping, 0.0, 1.0), h

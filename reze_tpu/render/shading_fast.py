@@ -90,7 +90,9 @@ def fetch_params(mat_f: jax.Array, packed: PackedMaterials) -> jax.Array:
 def eval_toon(knots: jax.Array, x: jax.Array) -> jax.Array:
     """Piecewise-linear toon curve. knots (P, 9, 3), x (P,) in [0,1]."""
     f = jnp.clip(x, 0.0, 1.0) * (N_KNOTS - 1)
-    seg = jnp.floor(f)
+    # clamp so x == 1.0 lands in the last segment (t = 1) instead of matching
+    # no branch and shading black
+    seg = jnp.minimum(jnp.floor(f), N_KNOTS - 2)
     t = (f - seg)[:, None]
     out = jnp.zeros((x.shape[0], 3))
     for s in range(N_KNOTS - 1):

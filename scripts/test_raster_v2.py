@@ -12,7 +12,7 @@ import numpy as np
 
 from reze_tpu.render import raster as R
 from reze_tpu.kernels import raster_tpu as RT
-from reze_tpu.kernels import raster_tpu2 as RT2
+import raster_tpu2_experiment as RT2  # moved out of the package (negative result)
 
 LOG = open("/tmp/raster_v2.log", "a")
 
