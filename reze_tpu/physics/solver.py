@@ -358,6 +358,108 @@ def _solve_contacts(
     return pos + dpos, _quat_add_rot(quat, drot)
 
 
+def _contact_velocity_pass(
+    pm: PhysicsModel,
+    tables: SolverTables,
+    pos: Array,
+    quat: Array,
+    lin_vel: Array,
+    ang_vel: Array,
+    pre_lin: Array,
+    pre_ang: Array,
+    inv_mass: Array,
+    h: Array,
+) -> tuple[Array, Array]:
+    """XPBD velocity pass: Coulomb friction + restitution at active contacts.
+
+    The reference sets both per body from PMX data (physics.ts:242-243);
+    Bullet combines them multiplicatively across a pair. Friction clamps the
+    tangential velocity change to mu * J_n where the normal impulse J_n is
+    estimated from this substep's positional correction (lambda_n / h);
+    restitution reflects the pre-solve approach velocity when it exceeds a
+    small resting threshold (2*g*h) to avoid jitter on resting contacts.
+    """
+    i = tables.pair_i
+    j = tables.pair_j
+    a0, a1, ra = _shape_segment(pm, pos, quat)
+    c1, c2 = _closest_segment_segment(a0[i], a1[i], a0[j], a1[j])
+    delta = c2 - c1
+    dist = jnp.linalg.norm(delta, axis=-1)
+    pen = ra[i] + ra[j] - dist
+    n = delta / jnp.maximum(dist, 1e-8)[:, None]
+    active = pen > 0.0
+
+    inv_inertia_w = _inv_inertia_world(pm, quat)
+    wi = inv_mass[i]
+    wj = inv_mass[j]
+    pi_ = c1 + n * ra[i][:, None]
+    pj_ = c2 - n * ra[j][:, None]
+    ri = pi_ - pos[i]
+    rj = pj_ - pos[j]
+
+    def w_along(dirv):
+        ri_x = jnp.cross(ri, dirv)
+        rj_x = jnp.cross(rj, dirv)
+        return (
+            wi + wj
+            + jnp.einsum("bi,bij,bj->b", ri_x, inv_inertia_w[i], ri_x)
+            + jnp.einsum("bi,bij,bj->b", rj_x, inv_inertia_w[j], rj_x)
+        )
+
+    def apply(dlin, dang, dirv, dlam):
+        """Impulse dirv*dlam on j, -dirv*dlam on i (dlam in impulse units)."""
+        imp = dirv * dlam[:, None]
+        dlin = dlin.at[j].add(imp * wj[:, None])
+        dlin = dlin.at[i].add(-imp * wi[:, None])
+        dang = dang.at[j].add(
+            jnp.einsum("bij,bj->bi", inv_inertia_w[j], jnp.cross(rj, imp))
+        )
+        dang = dang.at[i].add(
+            -jnp.einsum("bij,bj->bi", inv_inertia_w[i], jnp.cross(ri, imp))
+        )
+        return dlin, dang
+
+    # relative velocity of j w.r.t. i at the contact (n points i -> j, so
+    # v_n > 0 is separating)
+    v_rel = (lin_vel[j] + jnp.cross(ang_vel[j], rj)) - (
+        lin_vel[i] + jnp.cross(ang_vel[i], ri)
+    )
+    v_n = jnp.sum(v_rel * n, axis=-1)
+    v_t = v_rel - n * v_n[:, None]
+    vt_mag = jnp.linalg.norm(v_t, axis=-1)
+    t_hat = v_t / jnp.maximum(vt_mag, 1e-9)[:, None]
+
+    dlin = jnp.zeros_like(lin_vel)
+    dang = jnp.zeros_like(ang_vel)
+
+    # ---- friction: |dv_t| <= mu * lambda_n / h  (lambda_n from the position
+    # solve, approximated by this substep's penetration correction)
+    w_n = w_along(n)
+    w_t = w_along(t_hat)
+    lam_n = jnp.where(active & (w_n > 0), pen * _CONTACT_RELAX / jnp.maximum(w_n, 1e-9), 0.0)
+    mu = pm.friction[i] * pm.friction[j]  # Bullet: combined multiplicatively
+    dv_cap = mu * lam_n / jnp.maximum(h, 1e-9) * w_t
+    dv_t = jnp.minimum(vt_mag, dv_cap)
+    ok_t = active & (w_t > 0) & (vt_mag > 1e-9)
+    dlam_t = jnp.where(ok_t, dv_t / jnp.maximum(w_t, 1e-9), 0.0)
+    dlin, dang = apply(dlin, dang, -t_hat, dlam_t)
+
+    # ---- restitution: reflect pre-solve approach velocity
+    v_rel0 = (pre_lin[j] + jnp.cross(pre_ang[j], rj)) - (
+        pre_lin[i] + jnp.cross(pre_ang[i], ri)
+    )
+    v_n0 = jnp.sum(v_rel0 * n, axis=-1)
+    e = pm.restitution[i] * pm.restitution[j]
+    thr = 2.0 * 9.8 * h  # resting threshold (standard XPBD practice)
+    want = jnp.where(v_n0 < -thr, -e * v_n0, 0.0)
+    dv_n = jnp.maximum(want - v_n, 0.0)
+    ok_n = active & (w_n > 0) & (e > 0.0)
+    dlam_n = jnp.where(ok_n, dv_n / jnp.maximum(w_n, 1e-9), 0.0)
+    dlin, dang = apply(dlin, dang, n, dlam_n)
+
+    return lin_vel + dlin, ang_vel + dang
+
+
 # ---------------------------------------------------------------------------
 # Full step
 # ---------------------------------------------------------------------------
@@ -450,6 +552,12 @@ def step(
         v2 = jnp.where(dyn, (p2 - prev_pos) / h, v)
         dq = m3.quat_mul(q2, m3.quat_conj(prev_quat))
         w2 = jnp.where(dyn, 2.0 * dq[:, :3] / h * jnp.sign(dq[:, 3:4]), w)
+        # velocity pass: contact friction + restitution (physics.ts:242-243)
+        v3, w3 = _contact_velocity_pass(
+            pm, tables, p2, q2, v2, w2, v, w, inv_mass, h
+        )
+        v2 = jnp.where(dyn, v3, v2)
+        w2 = jnp.where(dyn, w3, w2)
         return p2, q2, v2, w2
 
     # dynamic trip count: only the substeps that actually run (typically 1-2

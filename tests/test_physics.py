@@ -158,3 +158,85 @@ def test_joint_coloring_no_conflicts():
     pm = make_pm()
     colors = solver.color_joints(jax.tree.map(jnp.asarray, pm))
     assert colors.shape[0] == pm.joint_body_a.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# Contact friction + restitution (physics.ts:242-243 — Bullet sets both per
+# body from PMX; combined multiplicatively across a pair)
+# ---------------------------------------------------------------------------
+
+
+def _ground_slider_pm(mu_slider, e_slider, mu_ground=1.0, e_ground=1.0):
+    """Kinematic capsule 'ground rail' along world X + a dynamic sphere.
+
+    The slider's inverse inertia is zeroed so friction acts as pure sliding
+    deceleration (no rolling), making mu directly measurable.
+    """
+    pm = make_pm(n=2, nj=1, contact_pair=True)
+    rot_z90 = np.array([0.0, 0.0, np.sin(np.pi / 4), np.cos(np.pi / 4)], np.float32)
+    return pm.replace(
+        shape=np.array([2, 0], np.int32),  # capsule, sphere
+        size=np.array([[1.0, 40.0, 1.0], [0.5, 0.5, 0.5]], np.float32),
+        body_offset_quat=np.stack([rot_z90, np.array([0, 0, 0, 1], np.float32)]),
+        friction=np.array([mu_ground, mu_slider], np.float32),
+        restitution=np.array([e_ground, e_slider], np.float32),
+        inv_inertia_local=np.zeros((2, 3), np.float32),
+        joint_valid=np.zeros(1, bool),
+    )
+
+
+def _run_with_velocity(pm, wp, v0, n_frames, cfg=None):
+    cfg = cfg or EngineConfig()
+    pmj = jax.tree.map(jnp.asarray, pm)
+    wq = jnp.zeros((2, 4)).at[:, 3].set(1.0)
+    st = init_state(2)
+    stepf = jax.jit(lambda s: solver.step(cfg, pmj, s, jnp.float32(1 / 60), wq, wp))
+    _, _, st = stepf(st)  # init from bones
+    st = st.replace(lin_vel=jnp.asarray(v0))
+    traj = []
+    for _ in range(n_frames):
+        _, _, st = stepf(st)
+        traj.append(np.asarray(st.position[1]))
+    return np.asarray(traj), st
+
+
+def test_friction_decelerates_slider():
+    # sphere resting on the rail (contact at y=1.0+0.5), sliding along x
+    wp = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 1.48, 0.0]])
+    v0 = np.array([[0, 0, 0], [5.0, 0, 0]], np.float32)
+    traj_lo, st_lo = _run_with_velocity(_ground_slider_pm(0.02, 0.0), wp, v0, 30)
+    traj_hi, st_hi = _run_with_velocity(_ground_slider_pm(0.04, 0.0), wp, v0, 30)
+    vx_lo = float(st_lo.lin_vel[1, 0])
+    vx_hi = float(st_hi.lin_vel[1, 0])
+    # both decelerate, higher mu decelerates faster
+    assert vx_lo < 5.0
+    assert vx_hi < vx_lo
+    # deceleration ratio tracks the friction ratio (2x), loosely
+    dv_lo = 5.0 - vx_lo
+    dv_hi = 5.0 - vx_hi
+    assert 1.5 < dv_hi / max(dv_lo, 1e-6) < 2.6
+    # and mu=0 keeps sliding at ~constant speed
+    traj_0, st_0 = _run_with_velocity(_ground_slider_pm(0.0, 0.0), wp, v0, 30)
+    assert float(st_0.lin_vel[1, 0]) > 4.9
+
+
+def test_restitution_bounces():
+    # drop the sphere onto the rail from 3 units up
+    wp = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 4.5, 0.0]])
+    v0 = np.zeros((2, 3), np.float32)
+    traj_b, _ = _run_with_velocity(_ground_slider_pm(0.0, 0.8), wp, v0, 90)
+    traj_d, _ = _run_with_velocity(_ground_slider_pm(0.0, 0.0), wp, v0, 90)
+    y_b = traj_b[:, 1]
+    y_d = traj_d[:, 1]
+    rest_y = 1.5  # contact height
+    # find first touch, then the post-bounce apex
+    touch = int(np.argmax(y_b < rest_y + 0.05))
+    apex_b = float(y_b[touch:].max()) - rest_y
+    apex_d = float(y_d[touch:].max()) - rest_y
+    drop_h = 3.0
+    # e=0.8 combined: apex ~ e^2 * h = 0.64h; allow wide tolerance for the
+    # positional-solve energy exchange
+    assert 0.25 * drop_h < apex_b < 0.9 * drop_h
+    # e=0: essentially no bounce
+    assert apex_d < 0.2 * drop_h
+    assert np.isfinite(traj_b).all() and np.isfinite(traj_d).all()
