@@ -59,6 +59,7 @@ class PassTables(NamedTuple):
     ids: jax.Array  # (rows<=16384, 128) f32 ids at lane 0 (static-lane reads)
     starts: jax.Array  # (B,) i32
     counts: jax.Array  # (B,) i32
+    overflow: jax.Array  # () i32 — (bin,tri) pairs beyond the static cap
 
 
 def pack_tables(
@@ -68,7 +69,6 @@ def pack_tables(
     tri_mat: jax.Array,  # (T,)
     by: int,
     bx: int,
-    max_bins_per_tri: int = 8,
 ) -> PassTables:
     """XLA-side setup: plane equations + global sorted bin pairs."""
     t = tri.valid.shape[0]
@@ -118,43 +118,43 @@ def pack_tables(
         axis=1,
     )  # (T, 24)
 
-    # --- binning: (bin, tri) pairs, globally sorted ---
+    # --- binning: exact (bin, tri) pair enumeration, globally sorted ---
+    # Every (tile, triangle) overlap is emitted (no per-triangle slot cap —
+    # a triangle spanning any number of tiles gets full coverage). The only
+    # bound is the static pair capacity; pairs beyond it are counted in
+    # `overflow` (the tail of the draw-order pair list is dropped).
     bx0 = jnp.clip(jnp.floor((xmin - 0.5) / TILE_W), 0, bx - 1).astype(jnp.int32)
     bx1 = jnp.clip(jnp.floor((xmax + 0.5) / TILE_W), 0, bx - 1).astype(jnp.int32)
     by0 = jnp.clip(jnp.floor((ymin - 0.5) / TILE_H), 0, by - 1).astype(jnp.int32)
     by1 = jnp.clip(jnp.floor((ymax + 0.5) / TILE_H), 0, by - 1).astype(jnp.int32)
     nx = bx1 - bx0 + 1
     ny = by1 - by0 + 1
-    n_bins_tri = nx * ny
+    live = tri.valid & (xmax >= xmin)
+    n_bins_tri = jnp.where(live, nx * ny, 0)
 
-    slot = jnp.arange(max_bins_per_tri, dtype=jnp.int32)
-    sx_off = slot[None, :] % jnp.maximum(nx, 1)[:, None]
-    sy_off = slot[None, :] // jnp.maximum(nx, 1)[:, None]
-    bin_id = (by0[:, None] + sy_off) * bx + (bx0[:, None] + sx_off)
-    slot_ok = (
-        (slot[None, :] < n_bins_tri[:, None])
-        & tri.valid[:, None]
-        & (xmax >= xmin)[:, None]
+    cap = 2 * MAX_TRIS_PER_CALL
+    ends_tri = jnp.cumsum(n_bins_tri)  # (T,)
+    starts_tri = ends_tri - n_bins_tri
+    total = ends_tri[-1]
+    k = jnp.arange(cap, dtype=jnp.int32)
+    tri_of_k = jnp.minimum(
+        jnp.searchsorted(ends_tri, k, side="right").astype(jnp.int32), t - 1
     )
+    slot = k - starts_tri[tri_of_k]
+    ok = k < total
+    nx_k = jnp.maximum(nx[tri_of_k], 1)
+    bin_id = (by0[tri_of_k] + slot // nx_k) * bx + (bx0[tri_of_k] + slot % nx_k)
+
     b_total = by * bx
-    tri_ids = jnp.broadcast_to(
-        jnp.arange(t, dtype=jnp.int32)[:, None], bin_id.shape
-    )
     shift = 1 << 18
-    key = jnp.where(slot_ok, bin_id * shift + tri_ids, b_total * shift)
-    key = jnp.sort(key.reshape(-1))
+    key = jnp.where(ok, bin_id * shift + tri_of_k, b_total * shift)
+    key = jnp.sort(key)
     pair_bin = key // shift
     pair_tri = key % shift
     flat = jnp.where(pair_bin < b_total, pair_tri, 0).astype(jnp.float32)
     # scalar reads need dynamic-sublane/static-lane addressing: one id per
-    # row at lane 0 (the 128x lane padding is why rows are capped at 2x the
-    # per-call triangle limit — padding slots sort last, so real pairs are
-    # kept unless a pass genuinely exceeds ~2 bins/triangle on average).
-    cap = min(flat.shape[0], 2 * MAX_TRIS_PER_CALL)
-    flat = flat[:cap]
-    n_pad = ((cap + 7) // 8) * 8
-    ids = jnp.pad(flat, (0, n_pad - cap))[:, None]
-    ids = jnp.pad(ids, ((0, 0), (0, 127)))  # (rows, 128), id at lane 0
+    # row at lane 0.
+    ids = jnp.pad(flat[:, None], ((0, 0), (0, 127)))  # (cap, 128)
     bins_arange = jnp.arange(b_total, dtype=jnp.int32)
     starts = jnp.minimum(
         jnp.searchsorted(pair_bin, bins_arange).astype(jnp.int32), cap
@@ -169,7 +169,8 @@ def pack_tables(
             f"pass has {t} triangles > {MAX_TRIS_PER_CALL}; slice the pass "
             "(see pipeline_tpu._sliced_raster)"
         )
-    return PassTables(tri_tab, attr_tab, ids, starts, ends - starts)
+    overflow = jnp.maximum(total - cap, 0)
+    return PassTables(tri_tab, attr_tab, ids, starts, ends - starts, overflow)
 
 
 def _raster_kernel(

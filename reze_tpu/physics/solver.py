@@ -104,12 +104,24 @@ def build_pairs(pm: PhysicsModel) -> tuple[np.ndarray, np.ndarray]:
 
 
 class SolverTables(NamedTuple):
-    """Host-precomputed static solver data."""
+    """Host-precomputed static solver data.
 
-    joint_colors: Array  # (NJ,)
-    n_colors: int
+    Joints are permuted so each color class is a contiguous slice
+    (``joint_perm``; slice c = ``[color_starts[c], color_starts[c+1])``) —
+    the per-color Gauss-Seidel sweep then runs on exactly its own joints
+    instead of a masked pass over all of them. ``has_lin_spring`` /
+    ``has_ang_spring`` statically skip spring sub-solves for models with no
+    spring stiffness anywhere (common: MMD exports drive hair purely with
+    limits).
+    """
+
+    joint_perm: np.ndarray  # (NJ,) permutation, color-contiguous
+    color_starts: tuple  # (n_colors + 1,) python ints
     pair_i: Array  # (P,)
     pair_j: Array  # (P,)
+    n_active: int  # static active-contact budget per substep
+    has_lin_spring: bool
+    has_ang_spring: bool
 
 
 _TABLE_CACHE: dict[int, SolverTables] = {}
@@ -119,16 +131,45 @@ def get_tables(pm: PhysicsModel) -> SolverTables:
     key = id(pm.joint_body_a)
     if key not in _TABLE_CACHE:
         colors = color_joints(pm)
+        valid = np.asarray(pm.joint_valid)
+        # invalid joints go into a final, never-solved bucket
+        sort_key = np.where(valid, colors, _MAX_COLORS)
+        perm = np.argsort(sort_key, kind="stable")
+        sorted_key = sort_key[perm]
+        n_colors = int(colors[valid].max()) + 1 if valid.any() else 0
+        starts = tuple(
+            int(np.searchsorted(sorted_key, c)) for c in range(n_colors + 1)
+        )
         pi, pj = build_pairs(pm)
         # keep plain NumPy: these become fresh constants in every trace (jnp
         # arrays created inside one trace would leak into the next)
         _TABLE_CACHE[key] = SolverTables(
-            joint_colors=colors,
-            n_colors=int(colors.max()) + 1 if colors.size else 1,
+            joint_perm=perm.astype(np.int32),
+            color_starts=starts,
             pair_i=pi,
             pair_j=pj,
+            n_active=min(512, pi.shape[0]),
+            has_lin_spring=bool((np.asarray(pm.joint_spring_lin)[valid] > 0).any()),
+            has_ang_spring=bool((np.asarray(pm.joint_spring_ang)[valid] > 0).any()),
         )
     return _TABLE_CACHE[key]
+
+
+class JointSlice(NamedTuple):
+    """Per-color contiguous joint data (gathered once per step)."""
+
+    a: Array
+    b: Array
+    pos_a: Array
+    quat_a: Array
+    pos_b: Array
+    quat_b: Array
+    lin_min: Array
+    lin_max: Array
+    ang_min: Array
+    ang_max: Array
+    spring_lin: Array
+    spring_ang: Array
 
 
 # ---------------------------------------------------------------------------
@@ -215,30 +256,36 @@ def _quat_add_rot(quat: Array, dw: Array) -> Array:
     return m3.quat_normalize(quat + 0.5 * dq)
 
 
-def _solve_joints_color(
-    pm: PhysicsModel,
-    tables: SolverTables,
-    color: Array,
+def _solve_joints_slice(
+    js: JointSlice,
     h: Array,
     pos: Array,
     quat: Array,
     inv_mass: Array,
+    inv_inertia_w: Array,
+    has_lin_spring: bool,
+    has_ang_spring: bool,
 ) -> tuple[Array, Array]:
-    """Solve all joints of one color in parallel (they touch disjoint
-    dynamic bodies, so scatter-add is exact Gauss-Seidel)."""
-    sel = (tables.joint_colors == color) & pm.joint_valid
-    a = jnp.maximum(pm.joint_body_a, 0)
-    b = jnp.maximum(pm.joint_body_b, 0)
-    inv_inertia_w = _inv_inertia_world(pm, quat)
+    """Solve one color class of joints (contiguous slice) in parallel.
+
+    Within a color every dynamic body appears in at most one joint, so the
+    scatter-adds are collision-free — this is exact Gauss-Seidel at vector
+    throughput. ``inv_inertia_w`` is the iteration-start world-space inverse
+    inertia (lagged within the iteration; standard XPBD practice).
+    """
+    a = jnp.maximum(js.a, 0)
+    b = jnp.maximum(js.b, 0)
 
     # world joint frames
-    pa = pos[a] + m3.quat_rotate(quat[a], pm.joint_pos_a)
-    pb = pos[b] + m3.quat_rotate(quat[b], pm.joint_pos_b)
-    qa = m3.quat_mul(quat[a], pm.joint_quat_a)
-    qb = m3.quat_mul(quat[b], pm.joint_quat_b)
+    pa = pos[a] + m3.quat_rotate(quat[a], js.pos_a)
+    pb = pos[b] + m3.quat_rotate(quat[b], js.pos_b)
+    qa = m3.quat_mul(quat[a], js.quat_a)
+    qb = m3.quat_mul(quat[b], js.quat_b)
 
     wa = inv_mass[a]
     wb = inv_mass[b]
+    ii_a = inv_inertia_w[a]
+    ii_b = inv_inertia_w[b]
 
     dpos = jnp.zeros_like(pos)
     dq_acc = jnp.zeros_like(pos)  # rotation vectors
@@ -250,78 +297,102 @@ def _solve_joints_color(
     axes = jnp.swapaxes(frame_a_rot, -1, -2)  # (NJ, 3axes, 3world)
     d_axes = jnp.einsum("bkw,bw->bk", axes, d_world)
 
-    lo = pm.joint_lin_min
-    hi = pm.joint_lin_max
+    lo = js.lin_min
+    hi = js.lin_max
     # hard violation outside [lo, hi]
     viol = jnp.where(d_axes < lo, d_axes - lo, jnp.where(d_axes > hi, d_axes - hi, 0.0))
-    # spring toward 0 with compliance 1/(k h^2) — fold into a softened target
-    k_lin = pm.joint_spring_lin
-    alpha = jnp.where(k_lin > 0, 1.0 / jnp.maximum(k_lin, 1e-6), 0.0) / jnp.maximum(h * h, 1e-12)
-    spring_c = jnp.where(k_lin > 0, d_axes, 0.0)
+    lin_solves = [(viol, None)]
+    if has_lin_spring:
+        # spring toward 0 with compliance 1/(k h^2)
+        k_lin = js.spring_lin
+        alpha = jnp.where(k_lin > 0, 1.0 / jnp.maximum(k_lin, 1e-6), 0.0) / jnp.maximum(h * h, 1e-12)
+        lin_solves.append((jnp.where(k_lin > 0, d_axes, 0.0), alpha))
 
+    ra = pa - pos[a]
+    rb = pb - pos[b]
     for axis_k in range(3):
         n = axes[:, axis_k]  # (NJ, 3)
-        for c_val, compliance in ((viol[:, axis_k], jnp.zeros_like(h)), (spring_c[:, axis_k], alpha[:, axis_k])):
-            ra = pa - pos[a]
-            rb = pb - pos[b]
+        for c_all, compliance in lin_solves:
+            c_val = c_all[:, axis_k]
+            comp = jnp.zeros_like(c_val) if compliance is None else compliance[:, axis_k]
             ra_x_n = jnp.cross(ra, n)
             rb_x_n = jnp.cross(rb, n)
             w_sum = (
                 wa + wb
-                + jnp.einsum("bi,bij,bj->b", ra_x_n, inv_inertia_w[a], ra_x_n)
-                + jnp.einsum("bi,bij,bj->b", rb_x_n, inv_inertia_w[b], rb_x_n)
+                + jnp.einsum("bi,bij,bj->b", ra_x_n, ii_a, ra_x_n)
+                + jnp.einsum("bi,bij,bj->b", rb_x_n, ii_b, rb_x_n)
             )
-            dlam = -c_val / jnp.maximum(w_sum + compliance, 1e-9)
-            dlam = jnp.where(sel & (w_sum > 0), dlam, 0.0)
+            dlam = -c_val / jnp.maximum(w_sum + comp, 1e-9)
+            dlam = jnp.where(w_sum > 0, dlam, 0.0)
             p_imp = n * dlam[:, None]
             # B moves +, A moves - (c = d·n, d = pb - pa)
             dpos = dpos.at[b].add(p_imp * wb[:, None])
             dpos = dpos.at[a].add(-p_imp * wa[:, None])
             dq_acc = dq_acc.at[b].add(
-                jnp.einsum("bij,bj->bi", inv_inertia_w[b], jnp.cross(rb, p_imp))
+                jnp.einsum("bij,bj->bi", ii_b, jnp.cross(rb, p_imp))
             )
             dq_acc = dq_acc.at[a].add(
-                -jnp.einsum("bij,bj->bi", inv_inertia_w[a], jnp.cross(ra, p_imp))
+                -jnp.einsum("bij,bj->bi", ii_a, jnp.cross(ra, p_imp))
             )
 
     # ---- angular: relative rotation euler (ZXY) per-axis limits + springs
     q_rel = m3.quat_mul(m3.quat_conj(qa), qb)
     e = m3.quat_to_euler_zxy(q_rel)  # (NJ, 3)
-    alo = pm.joint_ang_min
-    ahi = pm.joint_ang_max
-    aviol = jnp.where(e < alo, e - alo, jnp.where(e > ahi, e - ahi, 0.0))
-    k_ang = pm.joint_spring_ang
-    a_alpha = jnp.where(k_ang > 0, 1.0 / jnp.maximum(k_ang, 1e-6), 0.0) / jnp.maximum(h * h, 1e-12)
-    a_spring = jnp.where(k_ang > 0, e, 0.0)
+    aviol = jnp.where(e < js.ang_min, e - js.ang_min,
+                      jnp.where(e > js.ang_max, e - js.ang_max, 0.0))
+    ang_solves = [(aviol, None)]
+    if has_ang_spring:
+        k_ang = js.spring_ang
+        a_alpha = jnp.where(k_ang > 0, 1.0 / jnp.maximum(k_ang, 1e-6), 0.0) / jnp.maximum(h * h, 1e-12)
+        ang_solves.append((jnp.where(k_ang > 0, e, 0.0), a_alpha))
 
     for axis_k in range(3):
         n = axes[:, axis_k]
-        for c_val, compliance in ((aviol[:, axis_k], jnp.zeros_like(h)), (a_spring[:, axis_k], a_alpha[:, axis_k])):
+        for c_all, compliance in ang_solves:
+            c_val = c_all[:, axis_k]
+            comp = jnp.zeros_like(c_val) if compliance is None else compliance[:, axis_k]
             w_sum = (
-                jnp.einsum("bi,bij,bj->b", n, inv_inertia_w[a], n)
-                + jnp.einsum("bi,bij,bj->b", n, inv_inertia_w[b], n)
+                jnp.einsum("bi,bij,bj->b", n, ii_a, n)
+                + jnp.einsum("bi,bij,bj->b", n, ii_b, n)
             )
-            dlam = -c_val / jnp.maximum(w_sum + compliance, 1e-9)
-            dlam = jnp.where(sel & (w_sum > 0), dlam, 0.0)
+            dlam = -c_val / jnp.maximum(w_sum + comp, 1e-9)
+            dlam = jnp.where(w_sum > 0, dlam, 0.0)
             t_imp = n * dlam[:, None]
-            dq_acc = dq_acc.at[b].add(jnp.einsum("bij,bj->bi", inv_inertia_w[b], t_imp))
-            dq_acc = dq_acc.at[a].add(-jnp.einsum("bij,bj->bi", inv_inertia_w[a], t_imp))
+            dq_acc = dq_acc.at[b].add(jnp.einsum("bij,bj->bi", ii_b, t_imp))
+            dq_acc = dq_acc.at[a].add(-jnp.einsum("bij,bj->bi", ii_a, t_imp))
 
     pos = pos + dpos
     quat = _quat_add_rot(quat, dq_acc)
     return pos, quat
 
 
+def _select_active_contacts(
+    pm: PhysicsModel, tables: SolverTables, pos: Array, quat: Array
+) -> tuple[Array, Array]:
+    """Once-per-substep broadphase: narrow-phase all candidate pairs and keep
+    the n_active closest-to-penetration (Bullet builds its manifold once per
+    step too). Iterations then re-solve only this static-size active set."""
+    i = tables.pair_i
+    j = tables.pair_j
+    a0, a1, ra = _shape_segment(pm, pos, quat)
+    c1, c2 = _closest_segment_segment(a0[i], a1[i], a0[j], a1[j])
+    dist = jnp.linalg.norm(c2 - c1, axis=-1)
+    score = (ra[i] + ra[j]) - dist  # signed penetration
+    _, top = jax.lax.top_k(score, tables.n_active)
+    return jnp.asarray(i)[top], jnp.asarray(j)[top]
+
+
 def _solve_contacts(
     pm: PhysicsModel,
-    tables: SolverTables,
+    i: Array,
+    j: Array,
     pos: Array,
     quat: Array,
     inv_mass: Array,
+    inv_inertia_w: Array,
 ) -> tuple[Array, Array]:
-    """One Jacobi iteration of non-penetration contacts (under-relaxed)."""
-    i = tables.pair_i
-    j = tables.pair_j
+    """One Jacobi iteration of non-penetration contacts (under-relaxed)
+    over the substep's active pair set."""
     a0, a1, ra = _shape_segment(pm, pos, quat)
     c1, c2 = _closest_segment_segment(a0[i], a1[i], a0[j], a1[j])
     delta = c2 - c1
@@ -331,7 +402,6 @@ def _solve_contacts(
     n = delta / jnp.maximum(dist, 1e-8)[:, None]
     active = pen > 0.0
 
-    inv_inertia_w = _inv_inertia_world(pm, quat)
     wi = inv_mass[i]
     wj = inv_mass[j]
     pi_ = c1 + n * ra[i][:, None]
@@ -360,7 +430,8 @@ def _solve_contacts(
 
 def _contact_velocity_pass(
     pm: PhysicsModel,
-    tables: SolverTables,
+    i: Array,
+    j: Array,
     pos: Array,
     quat: Array,
     lin_vel: Array,
@@ -368,6 +439,7 @@ def _contact_velocity_pass(
     pre_lin: Array,
     pre_ang: Array,
     inv_mass: Array,
+    inv_inertia_w: Array,
     h: Array,
 ) -> tuple[Array, Array]:
     """XPBD velocity pass: Coulomb friction + restitution at active contacts.
@@ -379,8 +451,6 @@ def _contact_velocity_pass(
     restitution reflects the pre-solve approach velocity when it exceeds a
     small resting threshold (2*g*h) to avoid jitter on resting contacts.
     """
-    i = tables.pair_i
-    j = tables.pair_j
     a0, a1, ra = _shape_segment(pm, pos, quat)
     c1, c2 = _closest_segment_segment(a0[i], a1[i], a0[j], a1[j])
     delta = c2 - c1
@@ -389,7 +459,6 @@ def _contact_velocity_pass(
     n = delta / jnp.maximum(dist, 1e-8)[:, None]
     active = pen > 0.0
 
-    inv_inertia_w = _inv_inertia_world(pm, quat)
     wi = inv_mass[i]
     wj = inv_mass[j]
     pi_ = c1 + n * ra[i][:, None]
@@ -526,6 +595,23 @@ def step(
         jnp.clip(1.0 - pm.angular_damping, 0.0, 1.0), h
     )[:, None]
 
+    # color-contiguous joint slices (one gather per step; slices are static)
+    perm = tables.joint_perm
+    jall = JointSlice(
+        a=pm.joint_body_a[perm], b=pm.joint_body_b[perm],
+        pos_a=pm.joint_pos_a[perm], quat_a=pm.joint_quat_a[perm],
+        pos_b=pm.joint_pos_b[perm], quat_b=pm.joint_quat_b[perm],
+        lin_min=pm.joint_lin_min[perm], lin_max=pm.joint_lin_max[perm],
+        ang_min=pm.joint_ang_min[perm], ang_max=pm.joint_ang_max[perm],
+        spring_lin=pm.joint_spring_lin[perm], spring_ang=pm.joint_spring_ang[perm],
+    )
+    cs = tables.color_starts
+    slices = [
+        jax.tree.map(lambda x: x[cs[c]:cs[c + 1]], jall)
+        for c in range(len(cs) - 1)
+        if cs[c + 1] > cs[c]
+    ]
+
     def substep(_, carry):
         pos, quat, lin_vel, ang_vel = carry
         # integrate velocities
@@ -535,14 +621,19 @@ def step(
         p1 = jnp.where(dyn, pos + v * h, pos)
         q1 = jnp.where(dyn, _quat_add_rot(quat, w * h), quat)
 
+        # broadphase once per substep (Bullet builds its manifold per step)
+        act_i, act_j = _select_active_contacts(pm, tables, p1, q1)
+
         # constraint solve
         def solver_iter(_, pq):
             p, q = pq
-            for color in range(tables.n_colors):
-                p, q = _solve_joints_color(
-                    pm, tables, jnp.int32(color), h, p, q, inv_mass
+            ii_w = _inv_inertia_world(pm, q)
+            for js in slices:
+                p, q = _solve_joints_slice(
+                    js, h, p, q, inv_mass, ii_w,
+                    tables.has_lin_spring, tables.has_ang_spring,
                 )
-            p, q = _solve_contacts(pm, tables, p, q, inv_mass)
+            p, q = _solve_contacts(pm, act_i, act_j, p, q, inv_mass, ii_w)
             return (p, q)
 
         p2, q2 = jax.lax.fori_loop(
@@ -554,7 +645,8 @@ def step(
         w2 = jnp.where(dyn, 2.0 * dq[:, :3] / h * jnp.sign(dq[:, 3:4]), w)
         # velocity pass: contact friction + restitution (physics.ts:242-243)
         v3, w3 = _contact_velocity_pass(
-            pm, tables, p2, q2, v2, w2, v, w, inv_mass, h
+            pm, act_i, act_j, p2, q2, v2, w2, v, w, inv_mass,
+            _inv_inertia_world(pm, q2), h,
         )
         v2 = jnp.where(dyn, v3, v2)
         w2 = jnp.where(dyn, w3, w2)

@@ -100,3 +100,48 @@ def test_camera_ops():
     assert panned.target != cam.target
     # beta clamped
     assert cam.orbit(0, -1e6).beta <= cam.upper_beta_limit
+
+
+def test_big_triangle_full_coverage():
+    """A triangle spanning many tiles must rasterize in every tile it touches
+    (pack_tables enumerates (bin, tri) pairs exactly — no per-tri slot cap)."""
+    from reze_tpu.kernels import raster_tpu as RT
+    from reze_tpu.render import raster as R
+
+    wp, hp = 512, 256  # 4 x 8 = 32 tiles of (32, 128)
+    # one huge triangle covering the whole framebuffer
+    corners = jnp.asarray([
+        [[-4.0, -4.0, 0.5, 1.0], [4.0, -4.0, 0.5, 1.0], [0.0, 8.0, 0.5, 1.0]]
+    ])
+    valid = jnp.ones((1,), bool)
+    tri = R.setup_triangles(corners, valid, wp, hp, R.CULL_NONE)
+    tabs = RT.pack_tables(
+        tri, jnp.zeros((1, 3, 2)), jnp.zeros((1, 3, 3)),
+        jnp.zeros((1,), jnp.int32), hp // RT.TILE_H, wp // RT.TILE_W,
+    )
+    # every tile gets exactly one pair
+    assert int(np.asarray(tabs.counts).sum()) == 32
+    assert int(tabs.overflow) == 0
+    zbuf = jnp.full((32, 1, RT.TILE_H, RT.TILE_W), 1.0)
+    zb, gbuf = RT.raster_pass_tpu(tabs, zbuf, bx=wp // RT.TILE_W,
+                                  depth_write=True, interpret=True)
+    cover = np.asarray(gbuf[:, RT.CH_COVER])
+    # interior tiles are fully covered
+    assert (cover.reshape(32, -1).mean(1) > 0.5).all()
+
+
+def test_pair_overflow_detected():
+    from reze_tpu.kernels import raster_tpu as RT
+    from reze_tpu.render import raster as R
+
+    wp, hp = 512, 256
+    # 8192 full-screen triangles -> 8192*32 pairs >> cap
+    corners = jnp.broadcast_to(
+        jnp.asarray([[[-4.0, -4.0, 0.5, 1.0], [4.0, -4.0, 0.5, 1.0],
+                      [0.0, 8.0, 0.5, 1.0]]]), (8192, 3, 4))
+    tri = R.setup_triangles(corners, jnp.ones((8192,), bool), wp, hp, R.CULL_NONE)
+    tabs = RT.pack_tables(
+        tri, jnp.zeros((8192, 3, 2)), jnp.zeros((8192, 3, 3)),
+        jnp.zeros((8192,), jnp.int32), hp // RT.TILE_H, wp // RT.TILE_W,
+    )
+    assert int(tabs.overflow) == 8192 * 32 - 2 * RT.MAX_TRIS_PER_CALL
