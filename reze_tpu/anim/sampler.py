@@ -20,6 +20,8 @@ Two interpolation modes:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -240,3 +242,83 @@ def breathing_rotation(
     q_start = m3.quat_mul(base_rot, euler_x(jnp.full_like(ranges, sign_start)))
     q_target = m3.quat_mul(base_rot, euler_x(jnp.full_like(ranges, sign_target)))
     return m3.quat_slerp(q_start, q_target, u)
+
+
+# ---------------------------------------------------------------------------
+# VMD camera track (beyond-reference: vmd-loader.ts reads bone frames only
+# and discards the 61-byte camera records; we drive them)
+# ---------------------------------------------------------------------------
+
+
+class CameraTrack(NamedTuple):
+    """Padded camera keyframes. MMD conventions: `distance` is stored
+    negative (camera sits at target + R @ (0, 0, distance)), rotation is
+    (rx, ry, rz) euler with the X angle display-negated, fov in degrees."""
+
+    times: jax.Array  # (Kc,) seconds, +inf padded
+    distance: jax.Array  # (Kc,)
+    target: jax.Array  # (Kc, 3)
+    rotation: jax.Array  # (Kc, 3)
+    fov: jax.Array  # (Kc,) radians
+    n_keys: int
+
+
+def build_camera_track(motion, fps: float = 30.0) -> CameraTrack | None:
+    """-> CameraTrack or None when the VMD has no camera frames."""
+    import numpy as np
+
+    n = int(motion.camera_frames.shape[0])
+    if n == 0:
+        return None
+    order = np.argsort(motion.camera_frames, kind="stable")
+    k = max(n, 2)
+    times = np.full(k, np.inf, np.float32)
+    times[:n] = motion.camera_frames[order] / fps
+    if n == 1:
+        times[1] = np.inf
+
+    def pad(a, shape):
+        out = np.zeros(shape, np.float32)
+        out[:n] = a[order]
+        if n < shape[0]:
+            out[n:] = out[n - 1]
+        return out
+
+    return CameraTrack(
+        times=jnp.asarray(times),
+        distance=jnp.asarray(pad(motion.camera_distance, (k,))),
+        target=jnp.asarray(pad(motion.camera_position, (k, 3))),
+        rotation=jnp.asarray(pad(motion.camera_rotation, (k, 3))),
+        fov=jnp.asarray(pad(np.deg2rad(motion.camera_fov), (k,))),
+        n_keys=n,
+    )
+
+
+def sample_camera(track: CameraTrack, t: jax.Array):
+    """Linear interpolation -> (distance, target (3,), rotation (3,), fov)."""
+    k0, k1, u = _segment(track.times[None, :], t)
+    k0, k1, u = k0[0], k1[0], u[0]
+
+    def lerp(a):
+        return a[k0] + u * (a[k1] - a[k0])
+
+    return lerp(track.distance), lerp(track.target), lerp(track.rotation), lerp(track.fov)
+
+
+def camera_view_proj(distance, target, rotation, fov, aspect,
+                     near=0.05, far=1000.0):
+    """MMD camera pose -> (view_proj (4,4), eye (3,)).
+
+    eye = target + Ry(ry) Rx(-rx) Rz(rz) @ (0, 0, distance); distance < 0
+    places the camera in front along the rotated -Z, matching MMD.
+    """
+    rx, ry, rz = -rotation[0], rotation[1], rotation[2]
+    qy = jnp.stack([jnp.zeros(()), jnp.sin(ry / 2), jnp.zeros(()), jnp.cos(ry / 2)])
+    qx = jnp.stack([jnp.sin(rx / 2), jnp.zeros(()), jnp.zeros(()), jnp.cos(rx / 2)])
+    qz = jnp.stack([jnp.zeros(()), jnp.zeros(()), jnp.sin(rz / 2), jnp.cos(rz / 2)])
+    q = m3.quat_mul(m3.quat_mul(qy, qx), qz)
+    eye = target + m3.quat_rotate(q, jnp.stack([0.0 * distance, 0.0 * distance, distance]))
+    up = m3.quat_rotate(q, jnp.asarray([0.0, 1.0, 0.0]))
+    view = m3.look_at_lh(eye, target, up)
+    proj = m3.perspective_lh(fov, jnp.asarray(aspect), jnp.asarray(near), jnp.asarray(far))
+    return proj @ view, eye

@@ -407,12 +407,33 @@ def build_materials_and_atlas(
 # ---------------------------------------------------------------------------
 
 
-def build_morphs(pmx: PMXModel, v_pad: int) -> tuple[T.Morphs, dict[str, int]]:
-    """Dense vertex-morph matrix with group morphs expanded."""
+def build_morphs(
+    pmx: PMXModel, v_pad: int, j_pad: int, n_mats: int
+) -> tuple[T.Morphs, dict[str, int]]:
+    """Dense morph tables (all kinds) with group morphs expanded."""
     vertex_like = [mo for mo in pmx.morphs]
     name_to_id = {mo.name: i for i, mo in enumerate(vertex_like)}
     nm = max(len(vertex_like), 1)
     offsets = np.zeros((nm, v_pad, 3), np.float32)
+    bone_trans = np.zeros((nm, j_pad, 3), np.float32)
+    bone_rotvec = np.zeros((nm, j_pad, 3), np.float32)
+    uv_offsets = np.zeros((nm, v_pad, 2), np.float32)
+    mm = max(n_mats, 1)
+    mat_cols = {
+        "alpha_dmul": np.zeros((nm, mm), np.float32),
+        "alpha_add": np.zeros((nm, mm), np.float32),
+        "edge_a_dmul": np.zeros((nm, mm), np.float32),
+        "edge_a_add": np.zeros((nm, mm), np.float32),
+    }
+    has = {"bone": False, "uv": False, "material": False}
+
+    def quat_log(q: np.ndarray) -> np.ndarray:
+        """(n, 4) quaternion -> (n, 3) rotation vector (axis * angle)."""
+        q = q * np.sign(q[:, 3:4] + 1e-30)  # shortest arc
+        s = np.linalg.norm(q[:, :3], axis=1)
+        angle = 2.0 * np.arctan2(s, np.clip(q[:, 3], -1.0, 1.0))
+        axis = q[:, :3] / np.maximum(s, 1e-12)[:, None]
+        return axis * angle[:, None]
 
     def accumulate(dst: int, morph, ratio: float, depth: int = 0):
         if depth > 4:
@@ -423,11 +444,51 @@ def build_morphs(pmx: PMXModel, v_pad: int) -> tuple[T.Morphs, dict[str, int]]:
             for gi, gr in zip(morph.group_indices, morph.group_ratios):
                 if 0 <= gi < len(pmx.morphs):
                     accumulate(dst, pmx.morphs[gi], ratio * float(gr), depth + 1)
+        elif morph.kind == 2 and morph.bone_indices is not None:
+            has["bone"] = True
+            ok = (morph.bone_indices >= 0) & (morph.bone_indices < j_pad)
+            bi = morph.bone_indices[ok]
+            np.add.at(bone_trans[dst], bi, morph.bone_translations[ok] * ratio)
+            np.add.at(bone_rotvec[dst], bi, quat_log(morph.bone_rotations[ok]) * ratio)
+        elif morph.kind == 3 and morph.uv_indices is not None:
+            # uv0 only; kinds 4-7 (extra uv layers) do not affect rendering
+            has["uv"] = True
+            ok = (morph.uv_indices >= 0) & (morph.uv_indices < v_pad)
+            np.add.at(uv_offsets[dst], morph.uv_indices[ok],
+                      morph.uv_offsets[ok, :2] * ratio)
+        elif morph.kind == 8 and morph.mat_indices is not None:
+            has["material"] = True
+            for mi, op, dat in zip(morph.mat_indices, morph.mat_ops, morph.mat_data):
+                rows = range(n_mats) if mi < 0 else [int(mi)]
+                alpha_v = float(dat[3])  # diffuse.a
+                edge_a_v = float(dat[14])  # edge_color.a
+                for row in rows:
+                    if row >= mm:
+                        continue
+                    if op == 0:  # multiply: factor(w) = 1 + w*(v-1)
+                        mat_cols["alpha_dmul"][dst, row] += ratio * (alpha_v - 1.0)
+                        mat_cols["edge_a_dmul"][dst, row] += ratio * (edge_a_v - 1.0)
+                    else:  # add
+                        mat_cols["alpha_add"][dst, row] += ratio * alpha_v
+                        mat_cols["edge_a_add"][dst, row] += ratio * edge_a_v
 
     for i, mo in enumerate(vertex_like):
         accumulate(i, mo, 1.0)
 
-    return T.Morphs(offsets=offsets, n_morphs=len(vertex_like)), name_to_id
+    return T.Morphs(
+        offsets=offsets,
+        bone_trans=bone_trans if has["bone"] else np.zeros((1, 1, 3), np.float32),
+        bone_rotvec=bone_rotvec if has["bone"] else np.zeros((1, 1, 3), np.float32),
+        uv_offsets=uv_offsets if has["uv"] else np.zeros((1, 1, 2), np.float32),
+        mat_alpha_dmul=mat_cols["alpha_dmul"],
+        mat_alpha_add=mat_cols["alpha_add"],
+        mat_edge_a_dmul=mat_cols["edge_a_dmul"],
+        mat_edge_a_add=mat_cols["edge_a_add"],
+        n_morphs=len(vertex_like),
+        has_bone=has["bone"],
+        has_uv=has["uv"],
+        has_material=has["material"],
+    ), name_to_id
 
 
 # ---------------------------------------------------------------------------
@@ -624,7 +685,8 @@ class BuiltModel:
         geometry, _ = build_geometry(pmx, v_pad)
         skinning = build_skinning(pmx, v_pad, j_pad)
         materials, atlas = build_materials_and_atlas(pmx, model_dir, cfg)
-        morphs, morph_name_to_id = build_morphs(pmx, v_pad)
+        morphs, morph_name_to_id = build_morphs(
+            pmx, v_pad, j_pad, materials.alpha.shape[0])
         physics = build_physics(pmx)
         ik = build_ik(pmx)
 

@@ -102,6 +102,18 @@ def quat_slerp(a: Array, b: Array, t: Array) -> Array:
     return jnp.where(cos > 0.9995, lin, sph)
 
 
+def quat_from_rotvec(rv: Array) -> Array:
+    """Rotation vector (axis*angle, (..., 3)) -> quaternion (..., 4).
+
+    exp map: q = [axis*sin(a/2), cos(a/2)] with a small-angle-safe sinc.
+    Used by bone morphs: slerp(identity, q, w) == exp(w*log(q)).
+    """
+    angle = jnp.linalg.norm(rv, axis=-1, keepdims=True)
+    half = 0.5 * angle
+    sinc = jnp.where(angle > 1e-8, jnp.sin(half) / jnp.maximum(angle, 1e-12), 0.5)
+    return jnp.concatenate([rv * sinc, jnp.cos(half)], axis=-1)
+
+
 def quat_from_euler_zxy(rot: Array) -> Array:
     """MMD Euler (ZXY order, left-handed) -> quaternion (math.ts:192-206).
 

@@ -68,6 +68,14 @@ class EngineConfig:
     # deferred 2-layer compositing: one unified shade per frame instead of
     # one per material pass (exact for <=2 overlapping fragments per pixel)
     layered_shading: bool = True
+    # albedo sampling (the per-pixel texture gather is the TPU's slowest
+    # primitive at ~10 ns/index):
+    # half-res fetch for the occluded layer (visible only through
+    # translucent fragments) — quarter the gather cost there
+    albedo_half_occluded: bool = True
+    # bilinear filtering (engine.ts:189-190 uses a linear sampler); nearest
+    # by default: 4x fewer gathers, visibly close at >=1080p
+    albedo_bilinear: bool = False
 
     @property
     def bloom_size(self) -> tuple[int, int]:
@@ -187,10 +195,27 @@ class TextureAtlas:
 
 @struct.dataclass
 class Morphs:
-    """Vertex morphs flattened after group-morph expansion."""
+    """All PMX morph kinds flattened after group-morph expansion.
+
+    The reference parses-then-skips morphs entirely (pmx-loader.ts:450-553);
+    this implements the PMX semantics from the format spec: vertex offsets,
+    bone pose deltas (rotation stored as a rotation vector so weight w
+    scales exactly like slerp(identity, q, w)), uv0 offsets, and material
+    multiply/add factors linearized so factor(w) = 1 + w * dmul.
+    """
 
     offsets: Array  # (Nm, V, 3) f32 (dense; Nm padded >= 1)
+    bone_trans: Array  # (Nm, J, 3)
+    bone_rotvec: Array  # (Nm, J, 3) axis*angle
+    uv_offsets: Array  # (Nm, V, 2) (or (1, 1, 2) when has_uv is False)
+    mat_alpha_dmul: Array  # (Nm, M): alpha factor = 1 + w * dmul
+    mat_alpha_add: Array  # (Nm, M): alpha += w * add
+    mat_edge_a_dmul: Array  # (Nm, M)
+    mat_edge_a_add: Array  # (Nm, M)
     n_morphs: int = struct.field(pytree_node=False)
+    has_bone: bool = struct.field(pytree_node=False, default=False)
+    has_uv: bool = struct.field(pytree_node=False, default=False)
+    has_material: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

@@ -121,6 +121,8 @@ class Engine:
 
         motion = load_vmd(path)
         self._motion = motion
+        # beyond-reference: drive VMD camera frames when present
+        self._camera_track = sampler.build_camera_track(motion)
         m = self.model.arrays
         self._track = jax.device_put(
             sampler.build_animation(
@@ -264,11 +266,24 @@ class Engine:
             dt = (now - self._last_frame_time) if self._last_frame_time else 1.0 / 60.0
         self._last_frame_time = now
 
+        vp, eye = self.camera.view_proj(), self.camera.position()
+        if getattr(self, "_camera_track", None) is not None and self._playing:
+            # VMD camera animation (beyond-reference; vmd-loader.ts discards
+            # camera records)
+            clip_t = float(self.state.time) + dt - float(self.state.play_t0)
+            d, tgt, rotv, fov = sampler.sample_camera(
+                self._camera_track, jnp.float32(clip_t)
+            )
+            vp, eye = sampler.camera_view_proj(
+                d, tgt, rotv, fov, self.camera.aspect,
+                self.camera.near, self.camera.far,
+            )
+
         self.state, frame = self._step_fn(
             self.state,
             jnp.float32(dt),
-            self.camera.view_proj(),
-            self.camera.position(),
+            vp,
+            eye,
             self._lights,
             self._track,
             self._breath,

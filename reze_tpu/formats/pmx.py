@@ -166,6 +166,11 @@ class PMXMorph:
     # uv morph
     uv_indices: np.ndarray | None = None
     uv_offsets: np.ndarray | None = None  # (n, 4)
+    # material morph
+    mat_indices: np.ndarray | None = None  # (n,) int32, -1 = all materials
+    mat_ops: np.ndarray | None = None  # (n,) u8: 0 multiply, 1 add
+    mat_data: np.ndarray | None = None  # (n, 28) [diffuse4, specular3,
+    # shininess, ambient3, edge_color4, edge_size, tex4, env4, toon4]
 
 
 @dataclass
@@ -610,11 +615,19 @@ def _parse_pmx_tail(
                 ui[k] = r.index(v_sz, vertex=True)
                 uo[k] = r.fvec(4)
             morph.uv_indices, morph.uv_offsets = ui, uo
-        elif kind == 8:  # material (parsed for size; applied as no-op for now)
+        elif kind == 8:  # material morph
+            mi = np.zeros(n, np.int32)
+            mop = np.zeros(n, np.uint8)  # 0 = multiply, 1 = add
+            mdat = np.zeros((n, 28), np.float32)
             for _k in range(n):
-                r.index(mat_sz, vertex=False)
-                r.u8()
-                r.skip(28 * 4)
+                mi[_k] = r.index(mat_sz, vertex=False)
+                mop[_k] = r.u8()
+                # diffuse4, specular3, shininess, ambient3, edge_color4,
+                # edge_size, tex_tint4, env_tint4, toon_tint4
+                mdat[_k] = r.fvec(28)
+            morph.mat_indices = mi
+            morph.mat_ops = mop
+            morph.mat_data = mdat
         elif kind == 9:  # flip (PMX 2.1)
             for _k in range(n):
                 r.index(morph_sz, vertex=False)

@@ -54,9 +54,8 @@ N_CH = 9
 
 
 class PassTables(NamedTuple):
-    tri_tab: jax.Array  # (T, 16) f32 plane equations + bbox
-    attr_tab: jax.Array  # (T, 24) f32 interpolant planes + matid
-    ids: jax.Array  # (rows<=16384, 128) f32 ids at lane 0 (static-lane reads)
+    tab: jax.Array  # (T, 40) f32: [0:16] edges+depth+bbox, [16:35] attrs+mat
+    ids: jax.Array  # (cap,) i32 pair triangle ids (SMEM — scalar-read)
     starts: jax.Array  # (B,) i32
     counts: jax.Array  # (B,) i32
     overflow: jax.Array  # () i32 — (bin,tri) pairs beyond the static cap
@@ -112,11 +111,11 @@ def pack_tables(
     a_ch = jnp.einsum("tk,tkc->tc", ea, vals)
     b_ch = jnp.einsum("tk,tkc->tc", eb, vals)
     c_ch = jnp.einsum("tk,tkc->tc", ec, vals)
-    attr_tab = jnp.concatenate(
-        [a_ch, b_ch, c_ch, tri_mat[:, None].astype(jnp.float32),
+    tab = jnp.concatenate(
+        [tri_tab, a_ch, b_ch, c_ch, tri_mat[:, None].astype(jnp.float32),
          jnp.zeros((t, 5))],
         axis=1,
-    )  # (T, 24)
+    )  # (T, 40); one row read feeds both edge walk and attribute planes
 
     # --- binning: exact (bin, tri) pair enumeration, globally sorted ---
     # Every (tile, triangle) overlap is emitted (no per-triangle slot cap —
@@ -151,10 +150,7 @@ def pack_tables(
     key = jnp.sort(key)
     pair_bin = key // shift
     pair_tri = key % shift
-    flat = jnp.where(pair_bin < b_total, pair_tri, 0).astype(jnp.float32)
-    # scalar reads need dynamic-sublane/static-lane addressing: one id per
-    # row at lane 0.
-    ids = jnp.pad(flat[:, None], ((0, 0), (0, 127)))  # (cap, 128)
+    ids = jnp.where(pair_bin < b_total, pair_tri, 0).astype(jnp.int32)
     bins_arange = jnp.arange(b_total, dtype=jnp.int32)
     starts = jnp.minimum(
         jnp.searchsorted(pair_bin, bins_arange).astype(jnp.int32), cap
@@ -170,18 +166,18 @@ def pack_tables(
             "(see pipeline_tpu._sliced_raster)"
         )
     overflow = jnp.maximum(total - cap, 0)
-    return PassTables(tri_tab, attr_tab, ids, starts, ends - starts, overflow)
+    return PassTables(tab, ids, starts, ends - starts, overflow)
 
 
 def _raster_kernel(
     # scalar-prefetch style SMEM inputs
     starts_ref, counts_ref,
-    # VMEM inputs
-    tri_ref, attr_ref, ids_ref,
-    zbuf_in_ref,  # (BPS, S, 32, 128) incoming depth (aliased storage)
+    # VMEM table + SMEM pair ids
+    tab_ref, ids_ref,
+    zbuf_in_ref,  # (S, 32, 128) incoming depth (aliased storage)
     # outputs
-    zbuf_ref,  # (BPS, S, 32, 128) aliased in/out
-    gbuf_ref,  # (BPS, N_CH, 32, 128)
+    zbuf_ref,  # (S, 32, 128) aliased in/out
+    gbuf_ref,  # (N_CH, 32, 128)
     # scratch
     won_ref,  # (S, 32, 128) f32 0/1
     *,
@@ -189,27 +185,10 @@ def _raster_kernel(
     n_samples: int,
     depth_write: bool,
     with_attrs: bool,
-    bps: int,
 ):
-    # several bins per grid step amortize the per-step block-DMA latency
-    # (~30us/step) over BPS tiles
-    for sub in range(bps):
-        _raster_one_bin(
-            starts_ref, counts_ref, tri_ref, attr_ref, ids_ref,
-            zbuf_in_ref, zbuf_ref, gbuf_ref, won_ref,
-            sub=sub, bx=bx, n_samples=n_samples,
-            depth_write=depth_write, with_attrs=with_attrs, bps=bps,
-        )
-
-
-def _raster_one_bin(
-    starts_ref, counts_ref, tri_ref, attr_ref, ids_ref,
-    zbuf_in_ref, zbuf_ref, gbuf_ref, won_ref,
-    *, sub, bx, n_samples, depth_write, with_attrs, bps,
-):
-    b = pl.program_id(0) * bps + sub
-    x0 = (b % bx) * TILE_W
-    y0 = (b // bx) * TILE_H
+    b = pl.program_id(0) * bx + pl.program_id(1)
+    x0 = pl.program_id(1) * TILE_W
+    y0 = pl.program_id(0) * TILE_H
     x0f = x0.astype(jnp.float32)
     y0f = y0.astype(jnp.float32)
 
@@ -217,8 +196,8 @@ def _raster_one_bin(
     # with input_output_aliases — copy the incoming depth explicitly).
     # Only CH_MAT needs clearing: every other G-buffer channel is either
     # gated on CH_MAT >= 0 downstream or overwritten (CH_COVER at finalize).
-    zbuf_ref[sub] = zbuf_in_ref[sub]
-    gbuf_ref[sub, CH_MAT] = jnp.full((TILE_H, TILE_W), -1.0)
+    zbuf_ref[...] = zbuf_in_ref[...]
+    gbuf_ref[CH_MAT] = jnp.full((TILE_H, TILE_W), -1.0)
 
     xs = (
         jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 1).astype(jnp.float32)
@@ -233,30 +212,28 @@ def _raster_one_bin(
 
     @pl.when(count == 0)
     def _():
-        gbuf_ref[sub, CH_COVER] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        gbuf_ref[CH_COVER] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
     @pl.when(count > 0)
     def _():
         _raster_bin_tris(
-            start, count, sub, x0f, y0f, xs, row_iota,
-            tri_ref, attr_ref, ids_ref, zbuf_ref, gbuf_ref, won_ref,
+            start, count, x0f, y0f, xs, row_iota,
+            tab_ref, ids_ref, zbuf_ref, gbuf_ref, won_ref,
             n_samples=n_samples, depth_write=depth_write, with_attrs=with_attrs,
         )
 
 
 def _raster_bin_tris(
-    start, count, sub, x0f, y0f, xs, row_iota,
-    tri_ref, attr_ref, ids_ref, zbuf_ref, gbuf_ref, won_ref,
+    start, count, x0f, y0f, xs, row_iota,
+    tab_ref, ids_ref, zbuf_ref, gbuf_ref, won_ref,
     *, n_samples, depth_write, with_attrs,
 ):
     won_ref[:] = jnp.zeros((n_samples, TILE_H, TILE_W), jnp.float32)
 
     def tri_body(k, _):
         n = start + k
-        # one id per (chunk, sublane) at lane 0: a plain scalar load, far
-        # cheaper than the former row-load + dynamic-rotate (~137 ns/pair)
-        tid = ids_ref[n, 0].astype(jnp.int32)
-        trow = tri_ref[pl.ds(tid, 1), :]  # one (1,16) vector load
+        tid = ids_ref[n]  # SMEM scalar load
+        trow = tab_ref[pl.ds(tid, 1), :]  # one (1,40) vector load
         ea0 = trow[0, 0]
         ea1 = trow[0, 1]
         ea2 = trow[0, 2]
@@ -296,10 +273,10 @@ def _raster_bin_tris(
                 oz = za * dx + zbc * dy
                 inside = ((e0 + o0) >= 0) & ((e1 + o1) >= 0) & ((e2 + o2) >= 0)
                 zs = zz + oz
-                zcur = zbuf_ref[sub, s, row, :]
+                zcur = zbuf_ref[s, row, :]
                 passed = inside & (zs <= zcur) & (zs >= 0.0) & (zs <= 1.0)
                 if depth_write:
-                    zbuf_ref[sub, s, row, :] = jnp.where(passed, zs, zcur)
+                    zbuf_ref[s, row, :] = jnp.where(passed, zs, zcur)
                 won_ref[s, row, :] = jnp.where(
                     passed, 1.0, won_ref[s, row, :]
                 )
@@ -307,20 +284,20 @@ def _raster_bin_tris(
 
             @pl.when(jnp.any(any_pass))
             def _():
-                arow = attr_ref[pl.ds(tid, 1), :]  # one (1,24) vector load
-                mat = arow[0, 18]
-                cur_m = gbuf_ref[sub, CH_MAT, row, :]
-                gbuf_ref[sub, CH_MAT, row, :] = jnp.where(any_pass, mat, cur_m)
-                cur_z = gbuf_ref[sub, CH_Z, row, :]
-                gbuf_ref[sub, CH_Z, row, :] = jnp.where(any_pass, zz, cur_z)
+                arow = trow  # attrs live in the same row at lane 16+
+                mat = arow[0, 34]
+                cur_m = gbuf_ref[CH_MAT, row, :]
+                gbuf_ref[CH_MAT, row, :] = jnp.where(any_pass, mat, cur_m)
+                cur_z = gbuf_ref[CH_Z, row, :]
+                gbuf_ref[CH_Z, row, :] = jnp.where(any_pass, zz, cur_z)
                 if with_attrs:
                     for ch in range(6):
-                        a = arow[0, ch]
-                        bb = arow[0, 6 + ch]
-                        cc = arow[0, 12 + ch]
+                        a = arow[0, 16 + ch]
+                        bb = arow[0, 22 + ch]
+                        cc = arow[0, 28 + ch]
                         val = a * xs + bb * ys + cc
-                        cur = gbuf_ref[sub, ch, row, :]
-                        gbuf_ref[sub, ch, row, :] = jnp.where(any_pass, val, cur)
+                        cur = gbuf_ref[ch, row, :]
+                        gbuf_ref[ch, row, :] = jnp.where(any_pass, val, cur)
 
             return 0
 
@@ -333,62 +310,64 @@ def _raster_bin_tris(
     cover = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     for s in range(n_samples):
         cover = cover + won_ref[s]
-    gbuf_ref[sub, CH_COVER] = cover * (1.0 / n_samples)
+    gbuf_ref[CH_COVER] = cover * (1.0 / n_samples)
 
 
 def raster_pass_tpu(
     tables: PassTables,
-    zbuf: jax.Array,  # (B, S, 32, 128)
+    zbuf: jax.Array,  # (S, HP, WP) planar
     *,
     bx: int,
     depth_write: bool,
     with_attrs: bool = True,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Run one raster pass; returns (zbuf', gbuf (B, N_CH, 32, 128))."""
-    b, s = zbuf.shape[0], zbuf.shape[1]
-    bps = next(n for n in (8, 4, 2, 1) if b % n == 0)
+    """Run one raster pass; returns (zbuf', gbuf (N_CH, HP, WP)).
+
+    Outputs are planar row-major framebuffers — downstream shading reshapes
+    to (ch, P) for free instead of paying an untile transpose."""
+    s, hp, wp = zbuf.shape
+    by = hp // TILE_H
+    assert wp // TILE_W == bx
     kernel = functools.partial(
         _raster_kernel,
         bx=bx,
         n_samples=s,
         depth_write=depth_write,
         with_attrs=with_attrs,
-        bps=bps,
     )
     zbuf_out, gbuf = pl.pallas_call(
         kernel,
-        grid=(b // bps,),
+        grid=(by, bx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # starts
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri_tab
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # attr_tab
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ids
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tab
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pair ids
             pl.BlockSpec(
-                (bps, s, TILE_H, TILE_W), lambda i: (i, 0, 0, 0),
+                (s, TILE_H, TILE_W), lambda i, j: (0, i, j),
                 memory_space=pltpu.VMEM,
             ),  # zbuf (aliased)
         ],
         out_specs=[
             pl.BlockSpec(
-                (bps, s, TILE_H, TILE_W), lambda i: (i, 0, 0, 0),
+                (s, TILE_H, TILE_W), lambda i, j: (0, i, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (bps, N_CH, TILE_H, TILE_W), lambda i: (i, 0, 0, 0),
+                (N_CH, TILE_H, TILE_W), lambda i, j: (0, i, j),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(zbuf.shape, jnp.float32),
-            jax.ShapeDtypeStruct((b, N_CH, TILE_H, TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((N_CH, hp, wp), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((s, TILE_H, TILE_W), jnp.float32)],
-        input_output_aliases={5: 0},
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(tables.starts, tables.counts, tables.tri_tab, tables.attr_tab, tables.ids, zbuf)
+    )(tables.starts, tables.counts, tables.tab, tables.ids, zbuf)
     return zbuf_out, gbuf

@@ -107,6 +107,7 @@ def _gather_pass(
     cls: int,
     outline: bool,
     outline_scale: float,
+    uvs: Array | None = None,
 ) -> _PassData:
     geom = model.geometry
     if outline:
@@ -124,7 +125,7 @@ def _gather_pass(
 
     c_pos = pos[tris]  # (T, 3, 3)
     c_nrm = nrm[tris]
-    c_uv = geom.uvs[tris]
+    c_uv = (geom.uvs if uvs is None else uvs)[tris]
     if outline:
         # MMD inverted hull: expand along skinned world normal by
         # edgeSize * 0.01 (engine.ts:459-461); edge size is per material.
@@ -218,13 +219,14 @@ def render_frame(
     view_proj: Array,  # (4, 4)
     eye_pos: Array,  # (3,)
     lights: Lights,
+    uvs: Array | None = None,
 ) -> Array:
     """Render one frame -> (H, W, 3) float rgb (pre-bloom-tonemap linear)."""
     fb = init_framebuffer(dims, cfg.msaa_samples)
     scale = cfg.outline_scale
 
     def material_pass(fb, cls, cull, hair=False, eye=False):
-        data = _gather_pass(model, pos, nrm, view_proj, cls, False, scale)
+        data = _gather_pass(model, pos, nrm, view_proj, cls, False, scale, uvs)
         out, tri = _raster(data, fb, dims, cfg, cull, depth_write=True)
         return _shade_toon_pass(
             model, cfg, lights, eye_pos, data, tri, out, fb, dims,

@@ -28,8 +28,52 @@ from ..core.types import (
     round_up,
 )
 from ..kernels import raster_tpu as RT
+from ..kernels import shade_tpu as ST
 from . import post, raster, shading_fast as SF
 from .pipeline import _gather_pass
+
+
+def _fetch_albedo(atlas_flat, o, base, dims, *, bilinear: bool, half_res: bool):
+    """Albedo from the shade kernel's texel index channels -> (P, 3).
+
+    nearest: one gather at base + (fx>.5)dx + (fy>.5)dy.
+    bilinear: 4 gathers + lerp (engine.ts:189-190 linear sampler parity).
+    half_res: gather every other pixel and replicate 2x2 — used for the
+    occluded layer, visible only through translucent fragments.
+    """
+    tex = o[base + ST.O_TEX]
+    dxdy = o[base + ST.O_DXDY]
+    fx = o[base + ST.O_FX]
+    fy = o[base + ST.O_FY]
+    dx = jnp.mod(dxdy, 2.0)
+    dy = dxdy - dx
+    valid = tex >= 0.0
+
+    def g(idx_f):
+        idx = jnp.maximum(idx_f, 0.0).astype(jnp.int32)
+        if half_res:
+            grid = idx.reshape(dims.hp, dims.wp)[::2, ::2]
+            tx = atlas_flat[grid.reshape(-1)].astype(jnp.float32) * (1.0 / 255.0)
+            tx = tx.reshape(dims.hp // 2, dims.wp // 2, 4)
+            tx = jnp.repeat(jnp.repeat(tx, 2, axis=0), 2, axis=1)
+            return tx.reshape(dims.p, 4)
+        return atlas_flat[idx].astype(jnp.float32) * (1.0 / 255.0)
+
+    if bilinear:
+        t00 = g(tex)
+        t10 = g(tex + dx)
+        t01 = g(tex + dy)
+        t11 = g(tex + dx + dy)
+        wx = fx[:, None]
+        wy = fy[:, None]
+        texel = (
+            t00 * (1 - wx) * (1 - wy) + t10 * wx * (1 - wy)
+            + t01 * (1 - wx) * wy + t11 * wx * wy
+        )
+    else:
+        near = tex + jnp.where(fx > 0.5, dx, 0.0) + jnp.where(fy > 0.5, dy, 0.0)
+        texel = g(near)
+    return jnp.where(valid[:, None], texel[:, :3], 1.0)
 
 
 class FastDims(NamedTuple):
@@ -56,9 +100,8 @@ def make_dims_fast(cfg: EngineConfig) -> FastDims:
 
 
 def _untile_gbuf(gbuf: jax.Array, dims: FastDims) -> jax.Array:
-    """(B, N_CH, 32, 128) -> (N_CH, P)."""
-    g = gbuf.reshape(dims.by, dims.bx, RT.N_CH, RT.TILE_H, RT.TILE_W)
-    return g.transpose(2, 0, 3, 1, 4).reshape(RT.N_CH, dims.p)
+    """(N_CH, HP, WP) planar -> (N_CH, P) — a free reshape."""
+    return gbuf.reshape(RT.N_CH, dims.p)
 
 
 def render_frame_fast(
@@ -72,19 +115,22 @@ def render_frame_fast(
     eye_pos: jax.Array,
     lights: Lights,
     interpret: bool = False,
+    uvs: jax.Array | None = None,
+    mat_mod: tuple | None = None,
 ) -> jax.Array:
     atlas_stride = model.atlas.texels.shape[2]
     inv_vp = m3.mat4_inverse(view_proj)
     samples = cfg.msaa_samples
 
-    zbuf = jnp.full((dims.b, samples, RT.TILE_H, RT.TILE_W), 1.0)
+    zbuf = jnp.full((samples, dims.hp, dims.wp), 1.0)
     color = jnp.zeros((dims.p, 3))
     stencil = jnp.zeros((dims.p,), jnp.int32)
 
     def run_raster(cls, cull, outline, depth_write):
         """Rasterize one pass, slicing it if it exceeds the per-call triangle
         limit; slice G-buffers merge with last-writer-wins + summed cover."""
-        data = _gather_pass(model, pos, nrm, view_proj, cls, outline, cfg.outline_scale)
+        data = _gather_pass(model, pos, nrm, view_proj, cls, outline,
+                            cfg.outline_scale, uvs)
         t = data.valid.shape[0]
         n_slices = max(-(-t // RT.MAX_TRIS_PER_CALL), 1)
         zb = zbuf
@@ -107,12 +153,12 @@ def render_frame_fast(
             if merged is None:
                 merged = gbuf
             else:
-                won = gbuf[:, RT.CH_MAT : RT.CH_MAT + 1] >= 0
+                won = gbuf[RT.CH_MAT : RT.CH_MAT + 1] >= 0
                 cover = jnp.minimum(
-                    merged[:, RT.CH_COVER] + gbuf[:, RT.CH_COVER], 1.0
+                    merged[RT.CH_COVER] + gbuf[RT.CH_COVER], 1.0
                 )
                 merged = jnp.where(won, gbuf, merged)
-                merged = merged.at[:, RT.CH_COVER].set(cover)
+                merged = merged.at[RT.CH_COVER].set(cover)
         return zb, merged
 
     def shade_blend(color, gbuf, use_stencil=False):
@@ -127,35 +173,103 @@ def render_frame_fast(
 
     if cfg.layered_shading:
         # Layered deferred path: rasterize all passes (depth state flows in
-        # order), push fragments onto a 2-deep layer stack, shade ONCE per
-        # layer (2 albedo gathers/frame instead of one per material pass).
-        stack = SF.empty_stack(dims.p)
+        # order), push fragments onto a 2-deep layer stack (lean XLA selects
+        # in planar layout), then shade ONCE in a Pallas kernel
+        # (kernels/shade_tpu.py) + per-layer albedo gathers + composite.
+        tables = ST.pack_shade_tables(model.materials, model.atlas)
+        if mat_mod is not None:
+            # material-morph alpha/edge-alpha factors (PMX kind 8):
+            # value' = clip(value * (1 + w*dmul) + w*add, 0, 1)
+            a_scale, a_add, e_scale, e_add = mat_mod
+            tab = tables.push_tab
+            tab = tab.at[:, 0].set(jnp.clip(tab[:, 0] * a_scale + a_add, 0.0, 1.0))
+            tab = tab.at[:, 1].set(jnp.clip(tab[:, 1] * e_scale + e_add, 0.0, 1.0))
+            tables = tables._replace(push_tab=tab)
+        stack = jnp.zeros((2 * ST.L_CH, dims.hp, dims.wp))
+        stencil = jnp.zeros((dims.p,), bool)
+
+        def push(stack, stencil, gbuf, outline, use_stencil=False,
+                 write_stencil=False):
+            g = gbuf.reshape(RT.N_CH, dims.p)
+            mat = g[RT.CH_MAT]
+            cover = g[RT.CH_COVER]
+            m = tables.push_tab.shape[0]
+            onehot = (
+                jnp.maximum(mat, 0.0)[:, None]
+                == jnp.arange(m, dtype=jnp.float32)[None, :]
+            ).astype(jnp.float32)
+            cols = onehot @ tables.push_tab  # (P, 7)
+            a = cols[:, 1] if outline else cols[:, 0]
+            if use_stencil:
+                a = a * jnp.where(stencil & (cols[:, 2] > 0.5), 0.5, 1.0)
+            a_eff = a * cover
+            present = (mat >= 0.0) & (a_eff >= 0.001)
+            a_eff = jnp.where(present, a_eff, 0.0)
+            opaque = present & (a_eff > 0.999)
+            translucent = present & ~opaque
+
+            frag = jnp.stack([
+                g[RT.CH_UIW], g[RT.CH_VIW], g[RT.CH_NXIW], g[RT.CH_NYIW],
+                g[RT.CH_NZIW], g[RT.CH_IW], g[RT.CH_Z], a_eff,
+                jnp.full(dims.p, 1.0 if outline else 0.0),
+                cols[:, 4], cols[:, 5], cols[:, 6],
+            ])  # (L_CH, P)
+            st = stack.reshape(2 * ST.L_CH, dims.p)
+            l0, l1 = st[: ST.L_CH], st[ST.L_CH:]
+            l1_present = l1[ST.L_AEFF] > 0.0
+            new_l0 = jnp.where(
+                opaque, 0.0, jnp.where(translucent & l1_present, l1, l0)
+            )
+            new_l1 = jnp.where(present, frag, l1)
+            new_stack = jnp.concatenate([new_l0, new_l1]).reshape(stack.shape)
+            if write_stencil:
+                stencil = stencil | ((mat >= 0) & (cover > 0))
+            return new_stack, stencil
+
         zbuf, gbuf = run_raster(CLASS_OPAQUE, raster.CULL_NONE, False, True)
-        stack = SF.push_layer(stack, _untile_gbuf(gbuf, dims), packed, False)
+        stack, stencil = push(stack, stencil, gbuf, False)
         zbuf, gbuf = run_raster(CLASS_EYE, raster.CULL_FRONT, False, True)
-        g = _untile_gbuf(gbuf, dims)
-        stack = SF.push_layer(stack, g, packed, False)
-        stencil = jnp.where(
-            (g[RT.CH_MAT] >= 0) & (g[RT.CH_COVER] > 0),
-            jnp.int32(cfg.stencil_eye_value), stencil,
-        )
+        stack, stencil = push(stack, stencil, gbuf, False, write_stencil=True)
         zbuf, gbuf = run_raster(CLASS_OPAQUE, raster.CULL_BACK, True, True)
-        stack = SF.push_layer(stack, _untile_gbuf(gbuf, dims), packed, True)
+        stack, stencil = push(stack, stencil, gbuf, True)
         zbuf, gbuf = run_raster(CLASS_HAIR, raster.CULL_FRONT, False, True)
-        stack = SF.push_layer(
-            stack, _untile_gbuf(gbuf, dims), packed, False,
-            stencil=stencil, stencil_eye_value=cfg.stencil_eye_value,
-        )
+        stack, stencil = push(stack, stencil, gbuf, False, use_stencil=True)
         zbuf, gbuf = run_raster(CLASS_HAIR, raster.CULL_BACK, True, False)
-        stack = SF.push_layer(stack, _untile_gbuf(gbuf, dims), packed, True)
+        stack, stencil = push(stack, stencil, gbuf, True)
         zbuf, gbuf = run_raster(CLASS_TRANSPARENT, raster.CULL_NONE, False, True)
-        stack = SF.push_layer(stack, _untile_gbuf(gbuf, dims), packed, False)
+        stack, stencil = push(stack, stencil, gbuf, False)
         zbuf, gbuf = run_raster(CLASS_TRANSPARENT, raster.CULL_BACK, True, True)
-        stack = SF.push_layer(stack, _untile_gbuf(gbuf, dims), packed, True)
-        color = SF.composite_stack(
-            stack, packed, atlas_stride, lights, eye_pos, inv_vp,
-            dims.wp, dims.hp, cfg.rim_light_intensity,
+        stack, stencil = push(stack, stencil, gbuf, True)
+
+        shaded = ST.shade_stack_tpu(
+            stack, tables, lights, None, cfg.rim_light_intensity, eye_pos,
+            inv_vp, interpret=interpret,
         )
+        o = shaded.reshape(2 * ST.O_CH, dims.p)
+        st = stack.reshape(2 * ST.L_CH, dims.p)
+        # composite channel-first: (P,) planes keep lanes full (a (P, 3)
+        # layout uses 3/128 lanes on TPU)
+        cr = cg = cb = jnp.zeros((dims.p,))
+        for layer in range(2):
+            base = layer * ST.O_CH
+            half = cfg.albedo_half_occluded and layer == 0
+            albedo = _fetch_albedo(
+                packed.atlas_flat, o, base, dims,
+                bilinear=cfg.albedo_bilinear, half_res=half,
+            )
+            rim = o[base + ST.O_RIM]
+            a = st[layer * ST.L_CH + ST.L_AEFF]
+            na = 1.0 - a
+            cr = (albedo[:, 0] * o[base + ST.O_LR] + rim) * a + cr * na
+            cg = (albedo[:, 1] * o[base + ST.O_LG] + rim) * a + cg * na
+            cb = (albedo[:, 2] * o[base + ST.O_LB] + rim) * a + cb * na
+        img_cf = jnp.stack([cr, cg, cb]).reshape(3, dims.hp, dims.wp)
+        img_cf = img_cf[:, : dims.height, : dims.width]
+        if cfg.enable_bloom:
+            img_cf = post.apply_bloom_cf(
+                img_cf, cfg.bloom_threshold, cfg.bloom_intensity
+            )
+        return jnp.clip(img_cf, 0.0, 1.0).transpose(1, 2, 0)
     else:
         # 1. opaque
         zbuf, gbuf = run_raster(CLASS_OPAQUE, raster.CULL_NONE, False, True)

@@ -22,8 +22,26 @@ def downsample2x(img: Array) -> Array:
     return img[: h // 2 * 2, : w // 2 * 2].reshape(h // 2, 2, w // 2, 2, c).mean((1, 3))
 
 
+def _up2_axis(img: Array, axis: int) -> Array:
+    """Exact 2x bilinear upsample along one axis with elementwise ops only
+    (jax.image.resize lowers to gathers — ~10 ns/idx on TPU; this is pure
+    shifts + lerps). align_corners=False grid: out[2i] = .75 x[i] + .25
+    x[i-1], out[2i+1] = .75 x[i] + .25 x[i+1], clamp-to-edge."""
+    n = img.shape[axis]
+    first = jax.lax.slice_in_dim(img, 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(img, n - 1, n, axis=axis)
+    prev = jnp.concatenate([first, jax.lax.slice_in_dim(img, 0, n - 1, axis=axis)], axis=axis)
+    nxt = jnp.concatenate([jax.lax.slice_in_dim(img, 1, n, axis=axis), last], axis=axis)
+    even = img * 0.75 + prev * 0.25
+    odd = img * 0.75 + nxt * 0.25
+    out = jnp.stack([even, odd], axis=axis + 1)
+    return out.reshape(img.shape[:axis] + (2 * n,) + img.shape[axis + 1:])
+
+
 def upsample2x(img: Array, out_h: int, out_w: int) -> Array:
     """Bilinear 2x upsample to (out_h, out_w, C)."""
+    if out_h == 2 * img.shape[0] and out_w == 2 * img.shape[1]:
+        return _up2_axis(_up2_axis(img, 0), 1)
     return jax.image.resize(img, (out_h, out_w, img.shape[-1]), method="bilinear")
 
 
@@ -64,3 +82,35 @@ def apply_bloom(scene: Array, threshold: float, intensity: float) -> Array:
     half = downsample2x(scene)
     bloom = gaussian_blur(extract(half, threshold))
     return scene + upsample2x(bloom, h, w) * intensity
+
+
+# ---------------------------------------------------------------------------
+# Channel-first variants: (3, H, W) keeps the lane dimension full (W), while
+# (H, W, 3) wastes 125/128 lanes on TPU — measured 4.9 ms vs ~0.4 ms for the
+# same bloom chain at 1080p.
+# ---------------------------------------------------------------------------
+
+
+def downsample2x_cf(img: Array) -> Array:
+    """(C, H, W) -> (C, H//2, W//2) box filter."""
+    c, h, w = img.shape
+    return img[:, : h // 2 * 2, : w // 2 * 2].reshape(c, h // 2, 2, w // 2, 2).mean((2, 4))
+
+
+def _up2_axis_cf(img: Array, axis: int) -> Array:
+    n = img.shape[axis]
+    first = jax.lax.slice_in_dim(img, 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(img, n - 1, n, axis=axis)
+    prev = jnp.concatenate([first, jax.lax.slice_in_dim(img, 0, n - 1, axis=axis)], axis=axis)
+    nxt = jnp.concatenate([jax.lax.slice_in_dim(img, 1, n, axis=axis), last], axis=axis)
+    even = img * 0.75 + prev * 0.25
+    odd = img * 0.75 + nxt * 0.25
+    out = jnp.stack([even, odd], axis=axis + 1)
+    return out.reshape(img.shape[:axis] + (2 * n,) + img.shape[axis + 1:])
+
+
+def apply_bloom_cf(scene: Array, threshold: float, intensity: float) -> Array:
+    """(3, H, W) bloom chain, channel-first."""
+    half = downsample2x_cf(scene)
+    bloom = _blur_axis(_blur_axis(extract(half, threshold), 2), 1)
+    return scene + _up2_axis_cf(_up2_axis_cf(bloom, 1), 2) * intensity

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from .anim import sampler, tween
+from .core import math3d as m3
 from .core.types import EngineConfig, ModelArrays, SceneState
 from .kernels.skinning import skin_vertices
 from .physics import solver as physics_solver
@@ -64,6 +65,31 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None):
         # 2. manual tweens override while active (rotateBones API)
         rot, tween_state = tween.apply_tweens(state.tween, rot, t)
 
+        # 2b. bone morphs compose onto the local pose (PMX kind 2; the
+        # rotation table stores log-quats so weight w scales like
+        # slerp(identity, q, w))
+        if model.morphs.has_bone:
+            trans = trans + jnp.einsum("m,mjc->jc", mw, model.morphs.bone_trans)
+            rv = jnp.einsum("m,mjc->jc", mw, model.morphs.bone_rotvec)
+            rot = m3.quat_mul(rot, m3.quat_from_rotvec(rv))
+
+        # 2c. uv morphs offset uv0 (PMX kind 3)
+        uvs = None
+        if model.morphs.has_uv:
+            uvs = model.geometry.uvs + jnp.einsum(
+                "m,mvc->vc", mw, model.morphs.uv_offsets
+            )
+
+        # 2d. material morphs -> alpha / edge-alpha factors (PMX kind 8)
+        mat_mod = None
+        if model.morphs.has_material:
+            mat_mod = (
+                1.0 + mw @ model.morphs.mat_alpha_dmul,
+                mw @ model.morphs.mat_alpha_add,
+                1.0 + mw @ model.morphs.mat_edge_a_dmul,
+                mw @ model.morphs.mat_edge_a_add,
+            )
+
         # 3. FK (+ CCD IK)
         if cfg.enable_ik and model.ik.n_chains > 0:
             rot = ik_mod.solve_ik(model.skeleton, model.ik, rot, trans)
@@ -87,11 +113,11 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None):
         if use_fast:
             frame = pipeline_tpu.render_frame_fast(
                 model, cfg, fast_dims, packed, pos, nrm, view_proj, eye_pos,
-                lights, interpret=interpret,
+                lights, interpret=interpret, uvs=uvs, mat_mod=mat_mod,
             )
         else:
             frame = pipeline.render_frame(
-                model, cfg, dims, pos, nrm, view_proj, eye_pos, lights
+                model, cfg, dims, pos, nrm, view_proj, eye_pos, lights, uvs=uvs
             )
 
         new_state = state.replace(

@@ -118,7 +118,7 @@ def make_test_model(n_bones: int = 8, j_pad: int = 8, v_pad: int = 64) -> T.Mode
 
     morphs_off = np.zeros((2, v_pad, 3), np.float32)
     morphs_off[0, 0] = (0.0, 0.2, 0.0)
-    morphs = T.Morphs(offsets=morphs_off, n_morphs=2)
+    morphs = empty_morph_tables(morphs_off, n_mats=1)
 
     # physics: kinematic body on bone 1, dynamic on bone 2, spring joint
     nb = 8
@@ -166,3 +166,19 @@ def make_test_model(n_bones: int = 8, j_pad: int = 8, v_pad: int = 64) -> T.Mode
         materials=materials, atlas=atlas, morphs=morphs, physics=physics,
     )
     return jax.device_put(arrays)
+
+
+def empty_morph_tables(offsets: np.ndarray, n_mats: int) -> "T.Morphs":
+    """Morphs pytree with only vertex offsets populated (test helper)."""
+    nm = offsets.shape[0]
+    return T.Morphs(
+        offsets=offsets,
+        bone_trans=np.zeros((1, 1, 3), np.float32),
+        bone_rotvec=np.zeros((1, 1, 3), np.float32),
+        uv_offsets=np.zeros((1, 1, 2), np.float32),
+        mat_alpha_dmul=np.zeros((nm, n_mats), np.float32),
+        mat_alpha_add=np.zeros((nm, n_mats), np.float32),
+        mat_edge_a_dmul=np.zeros((nm, n_mats), np.float32),
+        mat_edge_a_add=np.zeros((nm, n_mats), np.float32),
+        n_morphs=nm,
+    )

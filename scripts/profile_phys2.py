@@ -66,13 +66,13 @@ tabs = jax.device_put(RT.pack_tables(
     tri, data.corner_uv[:tc], data.corner_nrm[:tc], data.tri_mat[:tc], dims.by, dims.bx))
 npairs = int(np.asarray(tabs.counts).sum())
 print(f"pairs: {npairs}, overflow: {int(tabs.overflow)}")
-zb0 = jnp.full((dims.b, 4, RT.TILE_H, RT.TILE_W), 1.0)
+zb0 = jnp.full((4, dims.hp, dims.wp), 1.0)
 
 
 def raster_op(zb, *tabs_leaves):
     tabs_ = RT.PassTables(*tabs_leaves)
     zb2, gbuf = RT.raster_pass_tpu(tabs_, jnp.minimum(zb, 1.0), bx=dims.bx, depth_write=True)
-    return zb2 + gbuf[:, RT.CH_COVER : RT.CH_COVER + 1] * 1e-9
+    return zb2 + gbuf[RT.CH_COVER : RT.CH_COVER + 1] * 1e-9
 
 
 ms = bench_op(f"raster opaque ({npairs} pairs)", raster_op, zb0, *tabs)
