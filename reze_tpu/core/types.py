@@ -76,6 +76,12 @@ class EngineConfig:
     # bilinear filtering (engine.ts:189-190 uses a linear sampler); nearest
     # by default: 4x fewer gathers, visibly close at >=1080p
     albedo_bilinear: bool = False
+    # whole-frame megakernel (kernels/frame_tpu.py): all passes + layer
+    # stack + lighting in one pallas_call
+    use_megakernel: bool = True
+    # static (bin, tri) pair capacity per pass, as a multiple of the pass's
+    # triangle count (overflow is counted, not silent)
+    pair_cap_scale: float = 3.0
 
     @property
     def bloom_size(self) -> tuple[int, int]:

@@ -1,0 +1,523 @@
+"""The frame megakernel: all raster passes + layer stack + shading in ONE
+pallas_call.
+
+Round-2 profiling showed the per-pass architecture loses most of its time
+outside the actual rasterization: 13 kernel launches with XLA glue between
+them (zbuf copies, G-buffer merges, push selects — ~25 ms/frame at 1080p of
+pure HBM traffic), plus a scalar-walk inner loop that pays ~100 ns of scalar
+reads per (bin, triangle) pair. This kernel restructures the whole frame
+TPU-first:
+
+* one grid step per (32, 128) tile; depth buffer, 2-layer fragment stack and
+  stencil stay **VMEM-resident across all 7 passes** — zero inter-pass HBM
+  traffic;
+* triangle data arrives as **pair-ordered rows** ((bin,tri) pairs sorted by
+  (pass, bin, ymin-row, draw id), gathered XLA-side): each tile DMAs its
+  contiguous segment from HBM in double-buffered chunks — no indirection and
+  no scalar id reads in the kernel;
+* **groups of 8 pairs process on sublanes**: per tile row, all 8 triangles'
+  edge/depth planes evaluate as (8, 128) vector ops and reduce across
+  sublanes (min-z winner with draw-order ties), replacing the scalar-walk's
+  per-triangle scalar extracts. The ymin-row sort bounds each group's row
+  span;
+* the per-pass epilogue pushes the pass's fragments onto the stack (the
+  same 2-layer semantics as render/pipeline_tpu.push) and the eye/hair
+  stencil rules run as tile-local selects (engine.ts:610-899);
+* after the last pass the tile is shaded in place (kernels/shade_tpu
+  lighting) and a (16, 32, 128) output block is written: per layer lit rgb,
+  rim, texel index + bilinear footprint, a_eff.
+
+The albedo texture fetch (the TPU's slowest primitive at ~10 ns/index)
+stays outside in XLA, fed by the emitted texel indices.
+
+Reference parity: pass ordering and fixed-function state of
+engine.ts:2123-2243 (less-equal depth, draw-order ties, per-pass cull
+applied at setup, 4x MSAA per-sample depth with coverage-to-alpha).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..render.raster import SAMPLE_OFFSETS, TriSetup
+from . import shade_tpu as ST
+
+TILE_H = 8  # one vreg row: every tile row is statically addressed
+TILE_W = 128
+# debug knobs for kernel-cost attribution (scripts/profile_mega2.py)
+DEBUG_DEPTH_ONLY = False
+DEBUG_NO_WINNER_GATE = False
+CHUNK = 128  # pairs per DMA chunk (x128 f32 row = 64 KB)
+GROUP = 8  # pairs per sublane group
+ROW_W = 128  # f32 lanes per pair row (HBM DMA slices must be 128-aligned)
+
+# pair-row column layout
+# 0:9   ea0 eb0 ec0 ea1 eb1 ec1 ea2 eb2 ec2   (edge planes, pre-divided)
+# 9:12  za zb zc                              (depth plane)
+# 12:14 ymin ymax                             (pixel-space y range)
+# 14:19 alpha is_hair ramp_gid tex_gid edge_gid (material scalars)
+# 19:37 a0..a5 b0..b5 c0..c5                  (attribute planes)
+C_E = 0
+C_Z = 9
+C_YMIN = 12
+C_YMAX = 13
+C_ALPHA = 14
+C_HAIR = 15
+C_RAMP = 16
+C_TEX = 17
+C_EDGE = 18
+C_ATTR = 19
+
+# per-pass static config: (outline, depth_write, write_stencil, use_stencil)
+PASS_CFG = (
+    (False, True, False, False),  # opaque
+    (False, True, True, False),  # eyes (stencil := 1)
+    (True, True, False, False),  # opaque outlines
+    (False, True, False, True),  # hair (stencil-split alpha)
+    (True, False, False, False),  # hair outlines (no depth write)
+    (False, True, False, False),  # transparent
+    (True, True, False, False),  # transparent outlines
+)
+N_PASSES = len(PASS_CFG)
+
+# pass-gbuf scratch channels
+G_UIW, G_VIW, G_NXIW, G_NYIW, G_NZIW, G_IW, G_Z, G_ALPHA, G_HAIR, G_RAMP, \
+    G_TEX, G_EDGE, G_COVER = range(13)
+G_CH = 13
+
+
+class FrameTables(NamedTuple):
+    rows: jax.Array  # (CAP + CHUNK, ROW_W) f32 pair rows, pass-major
+    starts: jax.Array  # (N_PASSES, B) i32 into rows
+    counts: jax.Array  # (N_PASSES, B) i32
+    overflow: jax.Array  # () i32 total dropped pairs
+
+
+def pack_pass_rows(
+    tri: TriSetup,
+    corner_uv: jax.Array,
+    corner_nrm: jax.Array,
+    alpha: jax.Array,  # (T,) per-triangle material alpha (outline: edge a)
+    is_hair: jax.Array,
+    ramp_gid: jax.Array,
+    tex_gid: jax.Array,
+    edge_gid: jax.Array,
+    by: int,
+    bx: int,
+    cap: int,
+    with_attrs: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One pass -> (rows (cap, ROW_W), starts (B,), counts (B,), overflow)."""
+    t = tri.valid.shape[0]
+    inv2a = tri.inv_area2[:, None]
+
+    za = jnp.sum(tri.ea * tri.z, axis=1) * inv2a[:, 0]
+    zb = jnp.sum(tri.eb * tri.z, axis=1) * inv2a[:, 0]
+    zc = jnp.sum(tri.ec * tri.z, axis=1) * inv2a[:, 0]
+
+    big = jnp.float32(1e9)
+    xmin = jnp.where(tri.valid, jnp.min(tri.sx, axis=1), big)
+    xmax = jnp.where(tri.valid, jnp.max(tri.sx, axis=1), -big)
+    ymin = jnp.where(tri.valid, jnp.min(tri.sy, axis=1), big)
+    ymax = jnp.where(tri.valid, jnp.max(tri.sy, axis=1), -big)
+
+    ea = tri.ea * inv2a
+    eb = tri.eb * inv2a
+    ec = tri.ec * inv2a
+
+    cols = [
+        ea[:, 0], eb[:, 0], ec[:, 0],
+        ea[:, 1], eb[:, 1], ec[:, 1],
+        ea[:, 2], eb[:, 2], ec[:, 2],
+        za, zb, zc, ymin, ymax,
+        alpha, is_hair.astype(jnp.float32), ramp_gid, tex_gid, edge_gid,
+    ]
+    if with_attrs:
+        iw = tri.inv_w
+        vals = jnp.concatenate(
+            [corner_uv * iw[..., None], corner_nrm * iw[..., None], iw[..., None]],
+            axis=-1,
+        )  # (T, 3, 6)
+        a_ch = jnp.einsum("tk,tkc->tc", ea, vals)
+        b_ch = jnp.einsum("tk,tkc->tc", eb, vals)
+        c_ch = jnp.einsum("tk,tkc->tc", ec, vals)
+        attr = jnp.concatenate([a_ch, b_ch, c_ch], axis=1)  # (T, 18)
+    else:
+        attr = jnp.zeros((t, 18))
+    tab = jnp.stack(cols, axis=1)  # (T, 19)
+    tab = jnp.concatenate([tab, attr, jnp.zeros((t, ROW_W - 37))], axis=1)
+
+    # exact (bin, tri) pair enumeration, sorted by (bin, ymin-row, id) so a
+    # sublane group's triangles share a narrow row band
+    bx0 = jnp.clip(jnp.floor((xmin - 0.5) / TILE_W), 0, bx - 1).astype(jnp.int32)
+    bx1 = jnp.clip(jnp.floor((xmax + 0.5) / TILE_W), 0, bx - 1).astype(jnp.int32)
+    by0 = jnp.clip(jnp.floor((ymin - 0.5) / TILE_H), 0, by - 1).astype(jnp.int32)
+    by1 = jnp.clip(jnp.floor((ymax + 0.5) / TILE_H), 0, by - 1).astype(jnp.int32)
+    nx = bx1 - bx0 + 1
+    live = tri.valid & (xmax >= xmin)
+    n_bins_tri = jnp.where(live, nx * (by1 - by0 + 1), 0)
+
+    ends_tri = jnp.cumsum(n_bins_tri)
+    starts_tri = ends_tri - n_bins_tri
+    total = ends_tri[-1]
+    k = jnp.arange(cap, dtype=jnp.int32)
+    tri_of_k = jnp.minimum(
+        jnp.searchsorted(ends_tri, k, side="right").astype(jnp.int32), t - 1
+    )
+    slot = k - starts_tri[tri_of_k]
+    ok = k < total
+    nx_k = jnp.maximum(nx[tri_of_k], 1)
+    bin_y = by0[tri_of_k] + slot // nx_k
+    bin_id = bin_y * bx + (bx0[tri_of_k] + slot % nx_k)
+
+    # 8-row tiles: a group's triangles share the tile band by construction,
+    # and draw order within a bin is exact (id is the low sort key)
+    b_total = by * bx
+    key = jnp.where(ok, bin_id * (1 << 15) + tri_of_k, b_total << 15)
+    key = jnp.sort(key)
+    pair_bin = key >> 15
+    pair_tri = jnp.where(pair_bin < b_total, key & ((1 << 15) - 1), 0)
+
+    rows = tab[pair_tri]  # (cap, ROW_W) pair-ordered gather
+    bins_arange = jnp.arange(b_total, dtype=jnp.int32)
+    starts = jnp.minimum(
+        jnp.searchsorted(pair_bin, bins_arange).astype(jnp.int32), cap
+    )
+    ends = jnp.minimum(
+        jnp.searchsorted(pair_bin, bins_arange, side="right").astype(jnp.int32), cap
+    )
+    return rows, starts, ends - starts, jnp.maximum(total - cap, 0)
+
+
+def _process_group(
+    buf_ref, g, base_left, x0f, y0f, xs8, s_iota, zbuf_ref, gbuf_ref, won_ref,
+    *, n_samples, depth_write, with_attrs,
+):
+    """Rasterize one group of 8 pairs (sublane = pair) into the (8, 128)
+    tile. All 8 rows are statically addressed vreg ops."""
+    rows = buf_ref[pl.ds(g * GROUP, GROUP), :]  # (8, ROW_W)
+    valid = s_iota < base_left  # (8, 1): pairs beyond the segment masked off
+
+    def col(i):
+        return rows[:, i:i + 1]  # (8, 1)
+
+    ea0, eb0, ec0 = col(0), col(1), col(2)
+    ea1, eb1, ec1 = col(3), col(4), col(5)
+    ea2, eb2, ec2 = col(6), col(7), col(8)
+    za, zb, zc = col(9), col(10), col(11)
+
+    # x-parts of the edge/depth planes (reused across rows)
+    ex0 = ea0 * xs8 + ec0  # (8, 128)
+    ex1 = ea1 * xs8 + ec1
+    ex2 = ea2 * xs8 + ec2
+    zx = za * xs8 + zc
+
+    # per-sample plane offsets (8, 1)
+    offs = []
+    for s in range(n_samples):
+        dx, dy = SAMPLE_OFFSETS[s]
+        offs.append((ea0 * dx + eb0 * dy, ea1 * dx + eb1 * dy,
+                     ea2 * dx + eb2 * dy, za * dx + zb * dy))
+
+    if with_attrs:
+        acols = [(col(C_ATTR + ch), col(C_ATTR + 6 + ch), col(C_ATTR + 12 + ch))
+                 for ch in range(6)]
+    fcols = [col(C_ALPHA), col(C_HAIR), col(C_RAMP), col(C_TEX), col(C_EDGE)]
+
+    for y in range(TILE_H):
+        ys = y0f + y + 0.5
+        e0 = ex0 + eb0 * ys
+        e1 = ex1 + eb1 * ys
+        e2 = ex2 + eb2 * ys
+        zz = zx + zb * ys
+        any_pass = None
+        for s in range(n_samples):
+            o0, o1, o2, oz = offs[s]
+            inside = (
+                ((e0 + o0) >= 0) & ((e1 + o1) >= 0) & ((e2 + o2) >= 0) & valid
+            )
+            zs = zz + oz
+            zrow = zbuf_ref[s, y:y + 1, :]  # (1, 128) static
+            passed = inside & (zs <= zrow) & (zs >= 0.0) & (zs <= 1.0)
+            zmin_s = jnp.min(jnp.where(passed, zs, 2.0), axis=0, keepdims=True)
+            if depth_write:
+                zbuf_ref[s, y:y + 1, :] = jnp.minimum(zrow, zmin_s)
+            won_ref[s, y:y + 1, :] = jnp.maximum(
+                won_ref[s, y:y + 1, :],
+                jnp.max(passed.astype(jnp.float32), axis=0, keepdims=True),
+            )
+            any_pass = passed if any_pass is None else (any_pass | passed)
+
+        if DEBUG_DEPTH_ONLY:
+            continue
+
+        zmask = jnp.where(any_pass, zz, 2.0)
+        zmin = jnp.min(zmask, axis=0, keepdims=True)  # (1, 128)
+        # winner: latest-drawn pair at min z (draw-order ties)
+        cand = jnp.where(zmask == zmin, s_iota, -1.0)
+        win = jnp.max(cand, axis=0, keepdims=True)
+        mask = (s_iota == win) & any_pass  # one-hot over sublanes
+        maskf = mask.astype(jnp.float32)
+        cur_z = gbuf_ref[G_Z, y:y + 1, :]
+        hit = gbuf_ref[G_COVER, y:y + 1, :] > 0.0
+        upd = ((zmin <= cur_z) | jnp.logical_not(hit)) & (zmin < 2.0)
+
+        def msum(vals):
+            return jnp.sum(maskf * vals, axis=0, keepdims=True)
+
+        def put(ch, val):
+            gbuf_ref[ch, y:y + 1, :] = jnp.where(
+                upd, val, gbuf_ref[ch, y:y + 1, :]
+            )
+
+        put(G_Z, zmin)
+        put(G_ALPHA, msum(fcols[0]))
+        put(G_HAIR, msum(fcols[1]))
+        put(G_RAMP, msum(fcols[2]))
+        put(G_TEX, msum(fcols[3]))
+        put(G_EDGE, msum(fcols[4]))
+        if with_attrs:
+            for ch in range(6):
+                a, bb, cc = acols[ch]
+                put(G_UIW + ch, msum(a * xs8 + bb * ys + cc))
+        gbuf_ref[G_COVER, y:y + 1, :] = jnp.where(
+            upd, 1.0, gbuf_ref[G_COVER, y:y + 1, :]
+        )
+
+
+def _push_pass(
+    stack_ref, stencil_ref, gbuf_ref, won_ref,
+    *, outline, write_stencil, use_stencil, n_samples,
+):
+    """Push the pass's fragments onto the 2-layer stack (VMEM selects)."""
+    cover = jnp.zeros((TILE_H, TILE_W))
+    for s in range(n_samples):
+        cover = cover + won_ref[s]
+    cover = cover * (1.0 / n_samples)
+    hit = gbuf_ref[G_COVER] > 0.0
+
+    a = gbuf_ref[G_ALPHA]
+    if use_stencil:
+        a = a * jnp.where((stencil_ref[0] > 0.5) & (gbuf_ref[G_HAIR] > 0.5),
+                          0.5, 1.0)
+    a_eff = a * cover
+    present = hit & (a_eff >= 0.001)
+    a_eff = jnp.where(present, a_eff, 0.0)
+    opaque = present & (a_eff > 0.999)
+    translucent = present & ~opaque
+
+    l1_aeff = stack_ref[ST.L_CH + ST.L_AEFF]
+    l1p = l1_aeff > 0.0
+    displace = translucent & l1p
+    for ch in range(ST.L_CH):
+        l0 = stack_ref[ch]
+        l1 = stack_ref[ST.L_CH + ch]
+        stack_ref[ch] = jnp.where(opaque, 0.0, jnp.where(displace, l1, l0))
+
+    frag = {
+        ST.L_UIW: gbuf_ref[G_UIW], ST.L_VIW: gbuf_ref[G_VIW],
+        ST.L_NXIW: gbuf_ref[G_NXIW], ST.L_NYIW: gbuf_ref[G_NYIW],
+        ST.L_NZIW: gbuf_ref[G_NZIW], ST.L_IW: gbuf_ref[G_IW],
+        ST.L_Z: gbuf_ref[G_Z], ST.L_AEFF: a_eff,
+        ST.L_OUT: jnp.full((TILE_H, TILE_W), 1.0 if outline else 0.0),
+        ST.L_RAMP: gbuf_ref[G_RAMP], ST.L_TEX: gbuf_ref[G_TEX],
+        ST.L_EDGE: gbuf_ref[G_EDGE],
+    }
+    for ch in range(ST.L_CH):
+        l1 = stack_ref[ST.L_CH + ch]
+        stack_ref[ST.L_CH + ch] = jnp.where(present, frag[ch], l1)
+
+    if write_stencil:
+        stencil_ref[0] = jnp.where(hit & (cover > 0.0), 1.0, stencil_ref[0])
+
+
+def _frame_kernel(
+    starts_ref, counts_ref,  # SMEM (N_PASSES, B)
+    rows_hbm,  # ANY (CAP + CHUNK, ROW_W)
+    knot_ref, tex_ref, edge_ref, ldir_ref, lcol_ref, misc_ref, inv_vp_ref,
+    out_ref,  # (2*O_CH, 32, 128) block
+    zbuf_ref, gbuf_ref, stack_ref, stencil_ref, won_ref,  # scratch
+    buf_ref, sem_ref,  # DMA scratch: (2, CHUNK, ROW_W) + 2 sems
+    *,
+    bx: int, wp: int, hp: int, n_samples: int, kr: int, kt: int, ke: int,
+):
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    b = bi * bx + bj
+    x0f = (bj * TILE_W).astype(jnp.float32)
+    y0f = (bi * TILE_H).astype(jnp.float32)
+
+    zbuf_ref[...] = jnp.ones_like(zbuf_ref)
+    stack_ref[...] = jnp.zeros_like(stack_ref)
+    stencil_ref[...] = jnp.zeros_like(stencil_ref)
+
+    xs8 = (
+        jax.lax.broadcasted_iota(jnp.int32, (GROUP, TILE_W), 1).astype(jnp.float32)
+        + x0f + 0.5
+    )
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0).astype(jnp.float32)
+
+    for p, (outline, depth_write, write_stencil, use_stencil) in enumerate(PASS_CFG):
+        start = starts_ref[p, b]
+        count = counts_ref[p, b]
+
+        @pl.when(count > 0)
+        def _():
+            gbuf_ref[...] = jnp.zeros_like(gbuf_ref)
+            won_ref[...] = jnp.zeros_like(won_ref)
+            n_chunks = pl.cdiv(count, CHUNK)
+
+            def dma(slot, ci):
+                return pltpu.make_async_copy(
+                    rows_hbm.at[pl.ds(start + ci * CHUNK, CHUNK), :],
+                    buf_ref.at[slot],
+                    sem_ref.at[slot],
+                )
+
+            dma(0, 0).start()
+
+            def chunk_body(ci, _):
+                slot = jax.lax.rem(ci, 2)
+
+                @pl.when(ci + 1 < n_chunks)
+                def _():
+                    dma(jax.lax.rem(ci + 1, 2), ci + 1).start()
+
+                dma(slot, ci).wait()
+                left = count - ci * CHUNK
+
+                def use_buf(buf):
+                    def group_body(g, _):
+                        _process_group(
+                            buf, g, (left - g * GROUP).astype(jnp.float32),
+                            x0f, y0f, xs8, s_iota,
+                            zbuf_ref, gbuf_ref, won_ref,
+                            n_samples=n_samples, depth_write=depth_write,
+                            with_attrs=not outline,
+                        )
+                        return 0
+
+                    n_groups = pl.cdiv(jnp.minimum(left, CHUNK), GROUP)
+                    jax.lax.fori_loop(0, n_groups, group_body, 0)
+
+                # static two-way branch on the buffer slot (Mosaic prefers
+                # static refs over dynamically indexed scratch)
+                @pl.when(slot == 0)
+                def _():
+                    use_buf(buf_ref.at[0])
+
+                @pl.when(slot == 1)
+                def _():
+                    use_buf(buf_ref.at[1])
+
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+            _push_pass(
+                stack_ref, stencil_ref, gbuf_ref, won_ref,
+                outline=outline, write_stencil=write_stencil,
+                use_stencil=use_stencil, n_samples=n_samples,
+            )
+
+    # ---- inline shade (same math as kernels/shade_tpu) ----
+    xs32 = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+        + x0f + 0.5
+    )
+    ys32 = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+        + y0f + 0.5
+    )
+    for layer in range(2):
+        stk = stack_ref[layer * ST.L_CH:(layer + 1) * ST.L_CH]
+        base = layer * ST.O_CH
+        any_present = jnp.max(stk[ST.L_AEFF]) > 0.0
+
+        @pl.when(jnp.logical_not(any_present))
+        def _():
+            for ch in range(ST.O_CH):
+                out_ref[base + ch] = jnp.full(
+                    (TILE_H, TILE_W), -1.0 if ch == ST.O_TEX else 0.0
+                )
+
+        @pl.when(any_present)
+        def _():
+            ST._shade_layer(
+                stk, knot_ref[...], tex_ref[...], edge_ref[...], ldir_ref[...],
+                lcol_ref[...], misc_ref[...], inv_vp_ref[...], xs32, ys32,
+                wp, hp, kr, kt, ke, out_ref, base,
+            )
+        # a_eff rides in the rim channel's sibling: write it to O_AEFF slot
+        out_ref[base + ST.O_AEFF] = stk[ST.L_AEFF]
+
+
+def render_megakernel(
+    tables: FrameTables,
+    shade_tables: ST.ShadeTables,
+    lights,
+    rim_intensity: float,
+    eye_pos: jax.Array,
+    inv_vp: jax.Array,
+    *,
+    hp: int,
+    wp: int,
+    n_samples: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> (2*O_CH, HP, WP) shade outputs (see shade_tpu channel layout)."""
+    bx = wp // TILE_W
+    by = hp // TILE_H
+    active = (jnp.arange(4) < lights.count).astype(jnp.float32)[:, None]
+    lcol = lights.color * lights.intensity[:, None] * active
+    misc = jnp.stack(
+        [lights.ambient, jnp.float32(rim_intensity),
+         eye_pos[0], eye_pos[1], eye_pos[2],
+         jnp.float32(shade_tables.atlas_stride), jnp.float32(0), jnp.float32(0)]
+    )[None, :]
+    kernel = functools.partial(
+        _frame_kernel, bx=bx, wp=wp, hp=hp, n_samples=n_samples,
+        kr=shade_tables.knot_tab.shape[0], kt=shade_tables.tex_tab.shape[0],
+        ke=shade_tables.edge_tab.shape[0],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(by, bx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # starts
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
+            pl.BlockSpec(memory_space=pltpu.ANY),  # rows (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # knot_tab
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tex_tab
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # edge_tab
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ldir
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lcol
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # misc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # inv_vp
+        ],
+        out_specs=pl.BlockSpec(
+            (2 * ST.O_CH, TILE_H, TILE_W), lambda i, j: (0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((2 * ST.O_CH, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_samples, TILE_H, TILE_W), jnp.float32),  # zbuf
+            pltpu.VMEM((G_CH, TILE_H, TILE_W), jnp.float32),  # pass gbuf
+            pltpu.VMEM((2 * ST.L_CH, TILE_H, TILE_W), jnp.float32),  # stack
+            pltpu.VMEM((1, TILE_H, TILE_W), jnp.float32),  # stencil
+            pltpu.VMEM((n_samples, TILE_H, TILE_W), jnp.float32),  # won
+            pltpu.VMEM((2, CHUNK, ROW_W), jnp.float32),  # DMA buffers
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(tables.starts, tables.counts, tables.rows,
+      shade_tables.knot_tab, shade_tables.tex_tab, shade_tables.edge_tab,
+      lights.direction, lcol, misc, inv_vp)

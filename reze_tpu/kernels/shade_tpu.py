@@ -47,8 +47,8 @@ N_KNOTS = 9
 L_CH = 12
 
 # kernel outputs (per layer): lit rgb, rim, nearest texidx, bilinear footprint
-O_LR, O_LG, O_LB, O_RIM, O_TEX, O_DXDY, O_FX, O_FY = range(8)
-O_CH = 8
+O_LR, O_LG, O_LB, O_RIM, O_TEX, O_DXDY, O_FX, O_FY, O_AEFF = range(9)
+O_CH = 9
 
 
 class ShadeTables(NamedTuple):
@@ -248,6 +248,7 @@ def _shade_kernel(
                 lcol_ref[...], misc_ref[...], inv_vp_ref[...], xs, ys,
                 wp, hp, kr, kt, ke, out_ref, base,
             )
+        out_ref[base + O_AEFF] = stk[L_AEFF]
 
 
 def shade_stack_tpu(

@@ -76,6 +76,110 @@ def _fetch_albedo(atlas_flat, o, base, dims, *, bilinear: bool, half_res: bool):
     return jnp.where(valid[:, None], texel[:, :3], 1.0)
 
 
+
+def _composite_shaded(o, atlas_flat, dims, cfg):
+    """Shade-kernel outputs (2*O_CH, P) -> (H, W, 3) with albedo + bloom."""
+    cr = cg = cb = jnp.zeros((dims.p,))
+    for layer in range(2):
+        base = layer * ST.O_CH
+        half = cfg.albedo_half_occluded and layer == 0
+        albedo = _fetch_albedo(
+            atlas_flat, o, base, dims,
+            bilinear=cfg.albedo_bilinear, half_res=half,
+        )
+        rim = o[base + ST.O_RIM]
+        a = o[base + ST.O_AEFF]
+        na = 1.0 - a
+        cr = (albedo[:, 0] * o[base + ST.O_LR] + rim) * a + cr * na
+        cg = (albedo[:, 1] * o[base + ST.O_LG] + rim) * a + cg * na
+        cb = (albedo[:, 2] * o[base + ST.O_LB] + rim) * a + cb * na
+    img_cf = jnp.stack([cr, cg, cb]).reshape(3, dims.hp, dims.wp)
+    img_cf = img_cf[:, : dims.height, : dims.width]
+    if cfg.enable_bloom:
+        img_cf = post.apply_bloom_cf(
+            img_cf, cfg.bloom_threshold, cfg.bloom_intensity
+        )
+    return jnp.clip(img_cf, 0.0, 1.0).transpose(1, 2, 0)
+
+
+def render_frame_mega(
+    model: ModelArrays,
+    cfg: EngineConfig,
+    dims: FastDims,
+    packed: SF.PackedMaterials,
+    pos: jax.Array,
+    nrm: jax.Array,
+    view_proj: jax.Array,
+    eye_pos: jax.Array,
+    lights: Lights,
+    interpret: bool = False,
+    uvs: jax.Array | None = None,
+    mat_mod: tuple | None = None,
+) -> jax.Array:
+    """Whole-frame megakernel path (kernels/frame_tpu.py): all 7 passes +
+    layer stack + lighting in one pallas_call; albedo + composite + bloom
+    in XLA."""
+    from ..kernels import frame_tpu as FT
+
+    inv_vp = m3.mat4_inverse(view_proj)
+    tables = ST.pack_shade_tables(model.materials, model.atlas)
+    if mat_mod is not None:
+        a_scale, a_add, e_scale, e_add = mat_mod
+        tab = tables.push_tab
+        tab = tab.at[:, 0].set(jnp.clip(tab[:, 0] * a_scale + a_add, 0.0, 1.0))
+        tab = tab.at[:, 1].set(jnp.clip(tab[:, 1] * e_scale + e_add, 0.0, 1.0))
+        tables = tables._replace(push_tab=tab)
+
+    pass_specs = [
+        (CLASS_OPAQUE, raster.CULL_NONE, False),
+        (CLASS_EYE, raster.CULL_FRONT, False),
+        (CLASS_OPAQUE, raster.CULL_BACK, True),
+        (CLASS_HAIR, raster.CULL_FRONT, False),
+        (CLASS_HAIR, raster.CULL_BACK, True),
+        (CLASS_TRANSPARENT, raster.CULL_NONE, False),
+        (CLASS_TRANSPARENT, raster.CULL_BACK, True),
+    ]
+    rows_l, starts_l, counts_l = [], [], []
+    overflow = jnp.int32(0)
+    offset = 0
+    for cls, cull, outline in pass_specs:
+        data = _gather_pass(model, pos, nrm, view_proj, cls, outline,
+                            cfg.outline_scale, uvs)
+        t = data.valid.shape[0]
+        assert t < (1 << 15), f"pass has {t} triangles (>= 2^15)"
+        tri = raster.setup_triangles(
+            data.corners_clip, data.valid, dims.wp, dims.hp, cull
+        )
+        cols = tables.push_tab[jnp.maximum(data.tri_mat, 0)]  # (T, 7)
+        alpha = cols[:, 1] if outline else cols[:, 0]
+        cap = -(-int(t * cfg.pair_cap_scale + 1024) // FT.CHUNK) * FT.CHUNK
+        rows, starts, counts, ofl = FT.pack_pass_rows(
+            tri, data.corner_uv, data.corner_nrm, alpha, cols[:, 2],
+            cols[:, 4], cols[:, 5], cols[:, 6],
+            dims.hp // FT.TILE_H, dims.wp // FT.TILE_W, cap,
+            with_attrs=not outline,
+        )
+        rows_l.append(rows)
+        starts_l.append(starts + offset)
+        counts_l.append(counts)
+        overflow = overflow + ofl
+        offset += cap
+    rows_all = jnp.concatenate(rows_l + [jnp.zeros((FT.CHUNK, FT.ROW_W))])
+    ft = FT.FrameTables(
+        rows=rows_all,
+        starts=jnp.stack(starts_l),
+        counts=jnp.stack(counts_l),
+        overflow=overflow,
+    )
+    shaded = FT.render_megakernel(
+        ft, tables, lights, cfg.rim_light_intensity, eye_pos, inv_vp,
+        hp=dims.hp, wp=dims.wp, n_samples=cfg.msaa_samples,
+        interpret=interpret,
+    )
+    o = shaded.reshape(2 * ST.O_CH, dims.p)
+    return _composite_shaded(o, packed.atlas_flat, dims, cfg)
+
+
 class FastDims(NamedTuple):
     width: int
     height: int
@@ -246,30 +350,7 @@ def render_frame_fast(
             inv_vp, interpret=interpret,
         )
         o = shaded.reshape(2 * ST.O_CH, dims.p)
-        st = stack.reshape(2 * ST.L_CH, dims.p)
-        # composite channel-first: (P,) planes keep lanes full (a (P, 3)
-        # layout uses 3/128 lanes on TPU)
-        cr = cg = cb = jnp.zeros((dims.p,))
-        for layer in range(2):
-            base = layer * ST.O_CH
-            half = cfg.albedo_half_occluded and layer == 0
-            albedo = _fetch_albedo(
-                packed.atlas_flat, o, base, dims,
-                bilinear=cfg.albedo_bilinear, half_res=half,
-            )
-            rim = o[base + ST.O_RIM]
-            a = st[layer * ST.L_CH + ST.L_AEFF]
-            na = 1.0 - a
-            cr = (albedo[:, 0] * o[base + ST.O_LR] + rim) * a + cr * na
-            cg = (albedo[:, 1] * o[base + ST.O_LG] + rim) * a + cg * na
-            cb = (albedo[:, 2] * o[base + ST.O_LB] + rim) * a + cb * na
-        img_cf = jnp.stack([cr, cg, cb]).reshape(3, dims.hp, dims.wp)
-        img_cf = img_cf[:, : dims.height, : dims.width]
-        if cfg.enable_bloom:
-            img_cf = post.apply_bloom_cf(
-                img_cf, cfg.bloom_threshold, cfg.bloom_intensity
-            )
-        return jnp.clip(img_cf, 0.0, 1.0).transpose(1, 2, 0)
+        return _composite_shaded(o, packed.atlas_flat, dims, cfg)
     else:
         # 1. opaque
         zbuf, gbuf = run_raster(CLASS_OPAQUE, raster.CULL_NONE, False, True)

@@ -111,7 +111,12 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None):
 
         # 6. rasterize + shade + bloom
         if use_fast:
-            frame = pipeline_tpu.render_frame_fast(
+            render = (
+                pipeline_tpu.render_frame_mega
+                if cfg.use_megakernel and cfg.layered_shading
+                else pipeline_tpu.render_frame_fast
+            )
+            frame = render(
                 model, cfg, fast_dims, packed, pos, nrm, view_proj, eye_pos,
                 lights, interpret=interpret, uvs=uvs, mat_mod=mat_mod,
             )
