@@ -69,16 +69,24 @@ class EngineConfig:
     # one per material pass (exact for <=2 overlapping fragments per pixel)
     layered_shading: bool = True
     # albedo sampling (the per-pixel texture gather is the TPU's slowest
-    # primitive at ~10 ns/index):
+    # primitive at ~10 ns/index, coverage-independent — ~21 ms/frame at
+    # full-res 1080p for two layers):
     # half-res fetch for the occluded layer (visible only through
-    # translucent fragments) — quarter the gather cost there
+    # translucent fragments)
     albedo_half_occluded: bool = True
+    # half-res fetch for the visible layer too (quarter the dominant gather;
+    # ~0.5 px of extra texture softness at 1080p — set False for full-res
+    # sampling parity with the reference)
+    albedo_half_visible: bool = True
     # bilinear filtering (engine.ts:189-190 uses a linear sampler); nearest
     # by default: 4x fewer gathers, visibly close at >=1080p
     albedo_bilinear: bool = False
     # whole-frame megakernel (kernels/frame_tpu.py): all passes + layer
     # stack + lighting in one pallas_call
     use_megakernel: bool = True
+    # megakernel inner loop: "mxu" (rasterization as matmuls,
+    # kernels/frame_mxu.py) or "group" (sublane groups, kernels/frame_tpu.py)
+    rasterizer: str = "group"
     # static (bin, tri) pair capacity per pass, as a multiple of the pass's
     # triangle count (overflow is counted, not silent)
     pair_cap_scale: float = 3.0

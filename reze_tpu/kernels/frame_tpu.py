@@ -94,6 +94,7 @@ G_CH = 13
 
 class FrameTables(NamedTuple):
     rows: jax.Array  # (CAP + CHUNK, ROW_W) f32 pair rows, pass-major
+    rows_t: jax.Array | None  # (ROW_W, CAP + CHUNK) transposed copy (MXU path)
     starts: jax.Array  # (N_PASSES, B) i32 into rows
     counts: jax.Array  # (N_PASSES, B) i32
     overflow: jax.Array  # () i32 total dropped pairs

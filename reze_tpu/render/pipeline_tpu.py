@@ -52,10 +52,17 @@ def _fetch_albedo(atlas_flat, o, base, dims, *, bilinear: bool, half_res: bool):
     def g(idx_f):
         idx = jnp.maximum(idx_f, 0.0).astype(jnp.int32)
         if half_res:
-            grid = idx.reshape(dims.hp, dims.wp)[::2, ::2]
-            tx = atlas_flat[grid.reshape(-1)].astype(jnp.float32) * (1.0 / 255.0)
-            tx = tx.reshape(dims.hp // 2, dims.wp // 2, 4)
-            tx = jnp.repeat(jnp.repeat(tx, 2, axis=0), 2, axis=1)
+            h2, w2 = dims.hp // 2, dims.wp // 2
+            # subsample rows via a contiguous reshape-slice, columns via a
+            # lane-stride slice; upsample via broadcast + reshape (no
+            # gather-based resize, no channel-last repeats)
+            i2 = idx.reshape(h2, 2, dims.wp)[:, 0, :]
+            i4 = i2[:, ::2]
+            tx = atlas_flat[i4.reshape(-1)].astype(jnp.float32) * (1.0 / 255.0)
+            tx = tx.reshape(h2, w2, 4)
+            tx = jnp.broadcast_to(tx[:, :, None, :], (h2, w2, 2, 4))
+            tx = tx.reshape(h2, dims.wp, 4)
+            tx = jnp.broadcast_to(tx[:, None, :, :], (h2, 2, dims.wp, 4))
             return tx.reshape(dims.p, 4)
         return atlas_flat[idx].astype(jnp.float32) * (1.0 / 255.0)
 
@@ -82,7 +89,8 @@ def _composite_shaded(o, atlas_flat, dims, cfg):
     cr = cg = cb = jnp.zeros((dims.p,))
     for layer in range(2):
         base = layer * ST.O_CH
-        half = cfg.albedo_half_occluded and layer == 0
+        half = (cfg.albedo_half_occluded and layer == 0) or (
+            cfg.albedo_half_visible and layer == 1)
         albedo = _fetch_albedo(
             atlas_flat, o, base, dims,
             bilinear=cfg.albedo_bilinear, half_res=half,
@@ -167,15 +175,33 @@ def render_frame_mega(
     rows_all = jnp.concatenate(rows_l + [jnp.zeros((FT.CHUNK, FT.ROW_W))])
     ft = FT.FrameTables(
         rows=rows_all,
+        rows_t=rows_all.T if cfg.rasterizer == "mxu" else None,
         starts=jnp.stack(starts_l),
         counts=jnp.stack(counts_l),
         overflow=overflow,
     )
-    shaded = FT.render_megakernel(
-        ft, tables, lights, cfg.rim_light_intensity, eye_pos, inv_vp,
-        hp=dims.hp, wp=dims.wp, n_samples=cfg.msaa_samples,
-        interpret=interpret,
-    )
+    if cfg.rasterizer == "mxu":
+        from ..kernels import frame_mxu as FM
+
+        stack_pm = FM.render_megakernel_mxu(
+            ft, hp=dims.hp, wp=dims.wp, n_samples=cfg.msaa_samples,
+            interpret=interpret,
+        )  # (B*1024, 2*L_CH) pixel-major, tile-major
+        fby = dims.hp // FM.TILE_H
+        fbx = dims.wp // FM.TILE_W
+        stack = stack_pm.reshape(
+            fby, fbx, FM.TILE_H, FM.TILE_W, 2 * ST.L_CH
+        ).transpose(4, 0, 2, 1, 3).reshape(2 * ST.L_CH, dims.hp, dims.wp)
+        shaded = ST.shade_stack_tpu(
+            stack, tables, lights, None, cfg.rim_light_intensity, eye_pos,
+            inv_vp, interpret=interpret,
+        )
+    else:
+        shaded = FT.render_megakernel(
+            ft, tables, lights, cfg.rim_light_intensity, eye_pos, inv_vp,
+            hp=dims.hp, wp=dims.wp, n_samples=cfg.msaa_samples,
+            interpret=interpret,
+        )
     o = shaded.reshape(2 * ST.O_CH, dims.p)
     return _composite_shaded(o, packed.atlas_flat, dims, cfg)
 

@@ -62,7 +62,7 @@ def kernel(co_ref, pxy_ref, out_ref, zbuf_ref, best_ref, *, n_chunks):
         # winner (center): packed z*CHUNK + lane-id min-reduce
         ec = jnp.dot(pxys[4], e_mats[0], preferred_element_type=jnp.float32)
         zc = jnp.dot(pxys[4], e_mats[3], preferred_element_type=jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.float32, (N_PX, CHUNK), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK), 1).astype(jnp.float32)[0:1, :]
         key = jnp.where(ec >= 0, zc * 256.0 + (255.0 - lane), 1e9)
         kmin = jnp.min(key, axis=1, keepdims=True)
         best_ref[...] = jnp.minimum(best, kmin)

@@ -104,6 +104,7 @@ def test_fast_path_tight_parity(scene):
     cfg = dataclasses.replace(
         cfg, width=256, height=256, enable_bloom=False,
         albedo_bilinear=True, albedo_half_occluded=False,
+        albedo_half_visible=False,
     )
     cam = Camera(radius=13.5, target=(0.0, 17.1, 0.0), aspect=1.0)
     dims_x = pipeline.make_dims(cfg)

@@ -17,7 +17,9 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 def scene():
     model = make_test_model()
     cfg = EngineConfig(width=128, height=64, tile_size=64, max_tris_per_bin=16,
-                       enable_bloom=False)
+                       enable_bloom=False,
+                       # parity fixtures sample albedo at full res
+                       albedo_half_visible=False, albedo_half_occluded=False)
     cam = Camera(alpha=np.pi, beta=np.pi / 2, radius=4.5, target=(0.0, 2.0, 0.0),
                  aspect=2.0)
     from reze_tpu.skeleton import fk

@@ -1,0 +1,68 @@
+"""Real-TPU hardware tests (VERDICT r1 item 5).
+
+Run manually on the chip (the normal suite forces the CPU backend):
+
+    RZ_TPU_TESTS=1 python -m pytest tests/test_tpu_hw.py -m tpu -q
+
+Compares the compiled Pallas megakernel against the XLA reference path on
+the real model ON HARDWARE — interpret-mode-only coverage misses Mosaic
+compile/runtime divergences (several were hit in rounds 1-2)."""
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+MODEL2 = "/root/reference/web/public/models/塞尔凯特2/塞尔凯特2.pmx"
+
+
+@pytest.mark.skipif(not os.path.exists(MODEL2), reason="assets unavailable")
+def test_megakernel_matches_xla_on_chip():
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("no TPU backend")
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reze_tpu.camera import Camera
+    from reze_tpu.core.build import load_model
+    from reze_tpu.core.types import EngineConfig
+    from reze_tpu.kernels.skinning import skin_vertices
+    from reze_tpu.render import pipeline, pipeline_tpu as PT, shading_fast as SF
+    from reze_tpu.skeleton import fk
+
+    cfg = EngineConfig(width=512, height=512, camera_distance=13.5,
+                       camera_target=(0.0, 17.1, 0.0), enable_bloom=False,
+                       max_tris_per_bin=8192, albedo_bilinear=True,
+                       albedo_half_visible=False, albedo_half_occluded=False)
+    built = load_model(MODEL2, cfg)
+    m = built.arrays
+    skel = m.skeleton
+    rot = jnp.zeros((skel.j, 4)).at[:, 3].set(1.0)
+    q, p = fk.world_transforms(skel, rot, jnp.zeros((skel.j, 3)))
+    pos, nrm = skin_vertices(m.geometry, m.skinning, fk.skin_palette(skel, q, p))
+    cam = Camera(radius=13.5, target=(0.0, 17.1, 0.0), aspect=1.0)
+    lights = pipeline.make_lights(cfg)
+    packed = SF.pack_materials(m.materials, m.atlas)
+
+    img_x = np.asarray(jax.jit(lambda pos, nrm: pipeline.render_frame(
+        m, cfg, pipeline.make_dims(cfg), pos, nrm, cam.view_proj(),
+        cam.position(), lights))(pos, nrm))
+    img_f = np.asarray(jax.jit(lambda pos, nrm: PT.render_frame_mega(
+        m, cfg, PT.make_dims_fast(cfg), packed, pos, nrm, cam.view_proj(),
+        cam.position(), lights))(pos, nrm))
+
+    assert np.isfinite(img_f).all()
+    lx, lf = img_x.mean(-1), img_f.mean(-1)
+    covered = (lx > 0.01) | (lf > 0.01)
+    d = np.abs(lx - lf)
+    frac = (d > 0.02)[covered].mean()
+    mean = d[covered].mean()
+    # same bound as the interpret-mode golden test: structural agreement;
+    # sub-pixel detail aliases differently across rasterization orders
+    assert frac <= 0.25, f"{frac:.4f} of covered pixels differ by > 0.02"
+    assert mean <= 0.05, f"mean covered luminance diff {mean:.4f}"
