@@ -97,7 +97,7 @@ def _process_chunk(
     valid_pair = in_seg.astype(jnp.float32)  # (1, 128)
 
     def planes(si):
-        pxy = pxy_ref[:, 8 * si:8 * si + 3] + tile_row[:, 8 * si:8 * si + 3]
+        pxy = pxy_ref[:, 8 * si:8 * si + 3]  # tile-local (constants pre-baked)
         dn = (((1,), (0,)), ((), ()))
         e0 = jax.lax.dot_general(pxy, buft_ref[0:3, :], dn,
                                  preferred_element_type=jnp.float32)
@@ -309,8 +309,7 @@ def _frame_kernel_mxu(
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-            pxyc = pxy_ref[:, 8 * n_samples:8 * n_samples + 3] \
-                + trow_full[:, 8 * n_samples:8 * n_samples + 3]
+            pxyc = pxy_ref[:, 8 * n_samples:8 * n_samples + 3]
             _push_pass_mxu(
                 state_ref, pxyc, outline=outline, write_stencil=write_stencil,
                 use_stencil=use_stencil, n_samples=n_samples,

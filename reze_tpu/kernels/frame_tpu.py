@@ -186,6 +186,25 @@ def pack_pass_rows(
     pair_tri = jnp.where(pair_bin < b_total, key & ((1 << 15) - 1), 0)
 
     rows = tab[pair_tri]  # (cap, ROW_W) pair-ordered gather
+    # Bake the bin origin into the plane constants so kernels evaluate in
+    # tile-local coordinates: c' = a*x0 + b*y0 + c. At 1080p the global
+    # formulation's f32 rounding varies per pixel row (|a|*1920*eps), which
+    # flips z-ties on coplanar quads (MMD face/expression layers) in 1-4 px
+    # bands; tile-local evaluation makes the error constant per tile.
+    x0b = ((pair_bin % bx) * TILE_W).astype(jnp.float32)
+    y0b = ((pair_bin // bx) * TILE_H).astype(jnp.float32)
+    adj = jnp.zeros_like(rows)
+    for ca, cb, cc in [(0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11)]:
+        adj = adj.at[:, cc].set(rows[:, ca] * x0b + rows[:, cb] * y0b)
+    if with_attrs:
+        for ch in range(6):
+            adj = adj.at[:, 19 + 12 + ch].set(
+                rows[:, 19 + ch] * x0b + rows[:, 19 + 6 + ch] * y0b
+            )
+    # the y range columns become tile-local too
+    adj = adj.at[:, C_YMIN].set(-y0b)
+    adj = adj.at[:, C_YMAX].set(-y0b)
+    rows = rows + adj
     bins_arange = jnp.arange(b_total, dtype=jnp.int32)
     starts = jnp.minimum(
         jnp.searchsorted(pair_bin, bins_arange).astype(jnp.int32), cap
@@ -232,7 +251,7 @@ def _process_group(
     fcols = [col(C_ALPHA), col(C_HAIR), col(C_RAMP), col(C_TEX), col(C_EDGE)]
 
     for y in range(TILE_H):
-        ys = y0f + y + 0.5
+        ys = y + 0.5  # tile-local (plane constants pre-baked per bin)
         e0 = ex0 + eb0 * ys
         e1 = ex1 + eb1 * ys
         e2 = ex2 + eb2 * ys
@@ -358,9 +377,10 @@ def _frame_kernel(
     stack_ref[...] = jnp.zeros_like(stack_ref)
     stencil_ref[...] = jnp.zeros_like(stencil_ref)
 
+    # plane constants are pre-baked per bin: evaluate in tile-local coords
     xs8 = (
         jax.lax.broadcasted_iota(jnp.int32, (GROUP, TILE_W), 1).astype(jnp.float32)
-        + x0f + 0.5
+        + 0.5
     )
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0).astype(jnp.float32)
 
