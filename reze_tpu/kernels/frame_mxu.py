@@ -95,30 +95,35 @@ def _process_chunk(
     g_idx = win_base + lane
     in_seg = (g_idx >= start) & (g_idx < start + count)
     valid_pair = in_seg.astype(jnp.float32)  # (1, 128)
+    quad = buft_ref[...]  # (8, 512): [a;b;c;0..] x [e0|e1|e2|z] blocks
 
     def planes(si):
-        pxy = pxy_ref[:, 8 * si:8 * si + 3]  # tile-local (constants pre-baked)
-        dn = (((1,), (0,)), ((), ()))
-        e0 = jax.lax.dot_general(pxy, buft_ref[0:3, :], dn,
-                                 preferred_element_type=jnp.float32)
-        e1 = jax.lax.dot_general(pxy, buft_ref[3:6, :], dn,
-                                 preferred_element_type=jnp.float32)
-        e2 = jax.lax.dot_general(pxy, buft_ref[6:9, :], dn,
-                                 preferred_element_type=jnp.float32)
-        zz = jax.lax.dot_general(pxy, buft_ref[9:12, :], dn,
-                                 preferred_element_type=jnp.float32)
+        # ONE matmul evaluates all 4 planes for 128 pairs: in-kernel matmuls
+        # are latency-bound (~0.45 us each), so batch into wide-N
+        pxy = pxy_ref[:, 8 * si:8 * si + 8]  # (1024, 8), lanes 3+ are zero
+        E = jnp.dot(pxy, quad, preferred_element_type=jnp.float32)
+        e0 = E[:, 0:128]
+        e1 = E[:, 128:256]
+        e2 = E[:, 256:384]
+        zz = E[:, 384:512]
         inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (valid_pair > 0)
         return inside, zz
 
     # --- per-sample depth test + coverage ---
+    # all 4 sample depths broadcast across pair lanes with one matmul
+    selz = (jax.lax.broadcasted_iota(jnp.int32, (8, 4 * CHUNK), 1) // CHUNK
+            == jax.lax.broadcasted_iota(jnp.int32, (8, 4 * CHUNK), 0)
+            ).astype(jnp.float32)[0:4, :]  # (4, 512)
+    zb_all = jnp.dot(state_ref[:, S_Z0:S_Z0 + 4], selz,
+                     preferred_element_type=jnp.float32)  # (1024, 512)
     for s in range(n_samples):
         inside, zz = planes(s)
-        zcol = state_ref[:, S_Z0 + s:S_Z0 + s + 1]  # (1024, 1)
-        zb = _bcast(zcol)
+        zb = zb_all[:, s * CHUNK:(s + 1) * CHUNK]
         passed = inside & (zz <= zb) & (zz >= 0.0) & (zz <= 1.0)
         zmin_s = jnp.min(jnp.where(passed, zz, 2.0), axis=1, keepdims=True)
         if depth_write:
-            state_ref[:, S_Z0 + s:S_Z0 + s + 1] = jnp.minimum(zcol, zmin_s)
+            state_ref[:, S_Z0 + s:S_Z0 + s + 1] = jnp.minimum(
+                state_ref[:, S_Z0 + s:S_Z0 + s + 1], zmin_s)
         state_ref[:, S_WON + s:S_WON + s + 1] = jnp.maximum(
             state_ref[:, S_WON + s:S_WON + s + 1],
             (zmin_s < 2.0).astype(jnp.float32),
@@ -219,7 +224,7 @@ def _push_pass_mxu(state_ref, pxyc, *, outline, write_stencil, use_stencil,
 def _frame_kernel_mxu(
     starts_ref, counts_ref,  # SMEM (N_PASSES, B)
     rows_hbm,  # ANY (CAP + CHUNK, ROW_W) pair-major
-    rows_t_hbm,  # ANY (ROW_W, CAP + CHUNK) coefficient-major
+    rows_t_hbm,  # ANY (8, 4 * (CAP + CHUNK)) quad plane table
     pxy_ref,  # (1024, 48): 6 sample blocks of [x, y, 1, 0...] (tile-local)
     out_ref,  # (1024, 2*L_CH) block
     state_ref,  # scratch (1024, 128)
@@ -270,8 +275,8 @@ def _frame_kernel_mxu(
 
             def dma_t(slot, ci):
                 return pltpu.make_async_copy(
-                    rows_t_hbm.at[0:COEFF_ROWS,
-                                  pl.ds(astart + ci * CHUNK, CHUNK)],
+                    rows_t_hbm.at[:, pl.ds((astart + ci * CHUNK) * 4,
+                                           4 * CHUNK)],
                     buft_ref.at[slot],
                     semt_ref.at[slot],
                 )
@@ -358,7 +363,7 @@ def render_megakernel_mxu(
         scratch_shapes=[
             pltpu.VMEM((N_PX, 128), jnp.float32),  # state
             pltpu.VMEM((2, CHUNK, ROW_W), jnp.float32),  # pair-major DMA
-            pltpu.VMEM((2, COEFF_ROWS, CHUNK), jnp.float32),  # coeff-major
+            pltpu.VMEM((2, 8, 4 * CHUNK), jnp.float32),  # quad planes
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -173,9 +173,19 @@ def render_frame_mega(
         overflow = overflow + ofl
         offset += cap
     rows_all = jnp.concatenate(rows_l + [jnp.zeros((FT.CHUNK, FT.ROW_W))])
+    rows_quad = None
+    if cfg.rasterizer == "mxu":
+        # (8, 4 * N) plane-coefficient table: window wi occupies lanes
+        # [512 wi, 512 (wi+1)) as [e0 | e1 | e2 | z] blocks of 128 pairs,
+        # rows [a; b; c; 0...] — one (1024, 8) @ (8, 512) matmul per sample
+        # evaluates every plane of a chunk
+        n = rows_all.shape[0]
+        q = rows_all[:, :12].reshape(n // FT.CHUNK, FT.CHUNK, 4, 3)
+        q = q.transpose(3, 0, 2, 1).reshape(3, n * 4)
+        rows_quad = jnp.concatenate([q, jnp.zeros((5, n * 4))], axis=0)
     ft = FT.FrameTables(
         rows=rows_all,
-        rows_t=rows_all.T if cfg.rasterizer == "mxu" else None,
+        rows_t=rows_quad,
         starts=jnp.stack(starts_l),
         counts=jnp.stack(counts_l),
         overflow=overflow,

@@ -21,7 +21,8 @@ from reze_tpu.skeleton import fk
 
 W = int(os.environ.get("W", 1920))
 H = int(os.environ.get("H", 1080))
-cfg = EngineConfig(width=W, height=H, camera_distance=13.5, camera_target=(0.0, 17.1, 0.0))
+cfg = EngineConfig(width=W, height=H, camera_distance=13.5, camera_target=(0.0, 17.1, 0.0),
+                   rasterizer=os.environ.get("RZ_RASTER", "group"))
 built = load_model("/root/reference/web/public/models/塞尔凯特2/塞尔凯特2.pmx", cfg)
 m = built.arrays
 skel = m.skeleton
