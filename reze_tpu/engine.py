@@ -247,8 +247,14 @@ class Engine:
     def _build_step(self):
         from .step import make_step
 
-        step = make_step(self.model.arrays, self.config, self._dims)
-        self._step_fn = jax.jit(step, donate_argnums=(0,))
+        # model arrays enter as a jit ARGUMENT (device-resident buffers);
+        # closure constants are re-shipped per dispatch through the device
+        # tunnel (~156 MB/frame for the reference model)
+        self._model_dev = jax.device_put(self.model.arrays)
+        step = make_step(self.model.arrays, self.config, self._dims,
+                         model_as_arg=True)
+        jitted = jax.jit(step, donate_argnums=(1,))
+        self._step_fn = lambda state, *a: jitted(self._model_dev, state, *a)
 
     # ------------------------------------------------------------------
     # Rendering

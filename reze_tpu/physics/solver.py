@@ -554,9 +554,14 @@ def step(
     dt: Array,
     wq: Array,  # (J, 4) bone world rotations (FK output)
     wp: Array,  # (J, 3) bone world positions
+    tables: SolverTables | None = None,
 ) -> tuple[Array, Array, PhysicsState]:
-    """Full physics step; returns updated bone world transforms + state."""
-    tables = get_tables(pm)
+    """Full physics step; returns updated bone world transforms + state.
+
+    ``tables`` must be precomputed from the CONCRETE PhysicsModel when
+    ``pm`` enters as a jit argument (get_tables runs host-side numpy)."""
+    if tables is None:
+        tables = get_tables(pm)
     h = jnp.float32(cfg.physics_fixed_dt)
     gravity = jnp.asarray(cfg.gravity)
 

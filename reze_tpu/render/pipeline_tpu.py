@@ -123,6 +123,7 @@ def render_frame_mega(
     interpret: bool = False,
     uvs: jax.Array | None = None,
     mat_mod: tuple | None = None,
+    shade_tables: "ST.ShadeTables | None" = None,
 ) -> jax.Array:
     """Whole-frame megakernel path (kernels/frame_tpu.py): all 7 passes +
     layer stack + lighting in one pallas_call; albedo + composite + bloom
@@ -130,7 +131,8 @@ def render_frame_mega(
     from ..kernels import frame_tpu as FT
 
     inv_vp = m3.mat4_inverse(view_proj)
-    tables = ST.pack_shade_tables(model.materials, model.atlas)
+    tables = (shade_tables if shade_tables is not None
+              else ST.pack_shade_tables(model.materials, model.atlas))
     if mat_mod is not None:
         a_scale, a_add, e_scale, e_add = mat_mod
         tab = tables.push_tab
@@ -257,6 +259,7 @@ def render_frame_fast(
     interpret: bool = False,
     uvs: jax.Array | None = None,
     mat_mod: tuple | None = None,
+    shade_tables: "ST.ShadeTables | None" = None,
 ) -> jax.Array:
     atlas_stride = model.atlas.texels.shape[2]
     inv_vp = m3.mat4_inverse(view_proj)
@@ -316,7 +319,8 @@ def render_frame_fast(
         # order), push fragments onto a 2-deep layer stack (lean XLA selects
         # in planar layout), then shade ONCE in a Pallas kernel
         # (kernels/shade_tpu.py) + per-layer albedo gathers + composite.
-        tables = ST.pack_shade_tables(model.materials, model.atlas)
+        tables = (shade_tables if shade_tables is not None
+                  else ST.pack_shade_tables(model.materials, model.atlas))
         if mat_mod is not None:
             # material-morph alpha/edge-alpha factors (PMX kind 8):
             # value' = clip(value * (1 + w*dmul) + w*add, 0, 1)

@@ -21,22 +21,45 @@ from .skeleton import fk
 from .skeleton import ik as ik_mod
 
 
-def make_step(model: ModelArrays, cfg: EngineConfig, dims=None):
+def make_step(model: ModelArrays, cfg: EngineConfig, dims=None,
+              model_as_arg: bool = False):
     """Returns step(state, dt, view_proj, eye_pos, lights, track, breath)
-    -> (state', frame (H, W, 3))."""
+    -> (state', frame (H, W, 3)).
+
+    With ``model_as_arg`` the returned function takes the ModelArrays pytree
+    as its FIRST argument instead of closing over it. Closure-captured
+    arrays become jit constants, which this sandbox's device tunnel
+    re-ships per dispatch (~156 MB -> seconds per frame for interactive
+    per-frame calls); argument buffers stay device-resident.
+    """
     use_fast = cfg.renderer == "tpu" or (
         cfg.renderer == "auto" and jax.default_backend() != "cpu"
     )
     if use_fast:
+        import jax.numpy as _jnp
+
+        from .kernels import shade_tpu as _ST
         from .render import pipeline_tpu, shading_fast
 
         fast_dims = pipeline_tpu.make_dims_fast(cfg)
-        packed = shading_fast.pack_materials(model.materials, model.atlas)
+        # small tables build host-side from the CONCRETE model; the 80 MB
+        # atlas buffer is re-derived from the model argument inside the jit
+        # (reshape is free) so it never becomes a closure constant
+        packed_const = shading_fast.pack_materials(model.materials, model.atlas)
+        shade_tables = _ST.pack_shade_tables(model.materials, model.atlas)
+        shade_tables = shade_tables._replace(
+            atlas_flat=_jnp.zeros((1, 4), _jnp.uint8)
+        )
         interpret = jax.default_backend() == "cpu"
     if dims is None:
         dims = pipeline.make_dims(cfg)
+    phys_tables = (
+        physics_solver.get_tables(model.physics)
+        if cfg.enable_physics and model.physics.n_bodies > 0 else None
+    )
 
-    def step(state: SceneState, dt, view_proj, eye_pos, lights, track, breath):
+    def step_impl(model, state: SceneState, dt, view_proj, eye_pos, lights,
+                  track, breath):
         t = state.time + dt
         clip_t = t - state.play_t0
 
@@ -99,7 +122,8 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None):
         phys_state = state.physics
         if cfg.enable_physics and model.physics.n_bodies > 0:
             wq, wp, phys_state = physics_solver.step(
-                cfg, model.physics, phys_state, dt, wq, wp
+                cfg, model.physics, phys_state, dt, wq, wp,
+                tables=phys_tables,
             )
 
         # 5. skinning (morph blend + LBS/SDEF)
@@ -111,6 +135,9 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None):
 
         # 6. rasterize + shade + bloom
         if use_fast:
+            packed = packed_const._replace(
+                atlas_flat=model.atlas.texels.reshape(-1, 4)
+            )
             render = (
                 pipeline_tpu.render_frame_mega
                 if cfg.use_megakernel and cfg.layered_shading
@@ -119,6 +146,7 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None):
             frame = render(
                 model, cfg, fast_dims, packed, pos, nrm, view_proj, eye_pos,
                 lights, interpret=interpret, uvs=uvs, mat_mod=mat_mod,
+                shade_tables=shade_tables,
             )
         else:
             frame = pipeline.render_frame(
@@ -134,5 +162,12 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None):
             physics=phys_state,
         )
         return new_state, frame
+
+    if model_as_arg:
+        return step_impl
+
+    def step(state, dt, view_proj, eye_pos, lights, track, breath):
+        return step_impl(model, state, dt, view_proj, eye_pos, lights, track,
+                         breath)
 
     return step
