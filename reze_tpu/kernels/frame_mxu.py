@@ -173,9 +173,16 @@ def _push_pass_mxu(state_ref, pxyc, *, outline, write_stencil, use_stencil,
     zc = (best >> 13).astype(jnp.float32) * (1.0 / ZQ)
 
     frag = st[:, S_FRAG:S_FRAG + N_FRAG]
-    alpha = frag[:, 0:1]
-    is_hair = frag[:, 1:2]
-    gids = frag[:, 2:5]  # ramp, tex, edge
+    # decode the packed material code (see pack_pass_rows)
+    code = jnp.round(frag[:, 0:1]).astype(jnp.int32)
+    alpha = (code & 1023).astype(jnp.float32) * (1.0 / 1023.0)
+    rest = code >> 10
+    is_hair = ((rest >> 12) & 1).astype(jnp.float32)
+    gids = jnp.concatenate([
+        (rest & 15).astype(jnp.float32),
+        ((rest >> 4) & 15).astype(jnp.float32),
+        ((rest >> 8) & 15).astype(jnp.float32),
+    ], axis=1)  # ramp, tex, edge
     # attr planes at pixel center: u*iw etc = a*x + b*y + c
     a6 = frag[:, 5:11]
     b6 = frag[:, 11:17]
@@ -314,7 +321,8 @@ def _frame_kernel_mxu(
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-            pxyc = pxy_ref[:, 8 * n_samples:8 * n_samples + 3]
+            pxyc = pxy_ref[:, 8 * n_samples:8 * n_samples + 3] \
+                + trow_full[:, 8 * n_samples:8 * n_samples + 3]
             _push_pass_mxu(
                 state_ref, pxyc, outline=outline, write_stencil=write_stencil,
                 use_stencil=use_stencil, n_samples=n_samples,

@@ -132,12 +132,19 @@ def pack_pass_rows(
     eb = tri.eb * inv2a
     ec = tri.ec * inv2a
 
+    # pack the 5 per-material scalars into ONE f32 code (23 bits, exact):
+    # [alpha*1023 | ramp<4b> | tex<4b> | edge<4b> | hair<1b>] — the winner
+    # resolve then needs a single masked reduce instead of five
+    code = (jnp.round(jnp.clip(alpha, 0.0, 1.0) * 1023.0)
+            + 1024.0 * (ramp_gid + 16.0 * tex_gid + 256.0 * edge_gid
+                        + 4096.0 * is_hair.astype(jnp.float32)))
+    zero = jnp.zeros_like(code)
     cols = [
         ea[:, 0], eb[:, 0], ec[:, 0],
         ea[:, 1], eb[:, 1], ec[:, 1],
         ea[:, 2], eb[:, 2], ec[:, 2],
         za, zb, zc, ymin, ymax,
-        alpha, is_hair.astype(jnp.float32), ramp_gid, tex_gid, edge_gid,
+        code, zero, zero, zero, zero,
     ]
     if with_attrs:
         iw = tri.inv_w
@@ -186,25 +193,6 @@ def pack_pass_rows(
     pair_tri = jnp.where(pair_bin < b_total, key & ((1 << 15) - 1), 0)
 
     rows = tab[pair_tri]  # (cap, ROW_W) pair-ordered gather
-    # Bake the bin origin into the plane constants so kernels evaluate in
-    # tile-local coordinates: c' = a*x0 + b*y0 + c. At 1080p the global
-    # formulation's f32 rounding varies per pixel row (|a|*1920*eps), which
-    # flips z-ties on coplanar quads (MMD face/expression layers) in 1-4 px
-    # bands; tile-local evaluation makes the error constant per tile.
-    x0b = ((pair_bin % bx) * TILE_W).astype(jnp.float32)
-    y0b = ((pair_bin // bx) * TILE_H).astype(jnp.float32)
-    adj = jnp.zeros_like(rows)
-    for ca, cb, cc in [(0, 1, 2), (3, 4, 5), (6, 7, 8), (9, 10, 11)]:
-        adj = adj.at[:, cc].set(rows[:, ca] * x0b + rows[:, cb] * y0b)
-    if with_attrs:
-        for ch in range(6):
-            adj = adj.at[:, 19 + 12 + ch].set(
-                rows[:, 19 + ch] * x0b + rows[:, 19 + 6 + ch] * y0b
-            )
-    # the y range columns become tile-local too
-    adj = adj.at[:, C_YMIN].set(-y0b)
-    adj = adj.at[:, C_YMAX].set(-y0b)
-    rows = rows + adj
     bins_arange = jnp.arange(b_total, dtype=jnp.int32)
     starts = jnp.minimum(
         jnp.searchsorted(pair_bin, bins_arange).astype(jnp.int32), cap
@@ -231,6 +219,14 @@ def _process_group(
     ea1, eb1, ec1 = col(3), col(4), col(5)
     ea2, eb2, ec2 = col(6), col(7), col(8)
     za, zb, zc = col(9), col(10), col(11)
+    # fold the tile origin into the plane constants ((8,1) scalar FMAs):
+    # evaluating at tile-local coordinates keeps the f32 rounding constant
+    # per tile, so z-ties on near-coplanar geometry resolve consistently
+    # (the global formulation flips them in pixel-row bands at 1080p)
+    ec0 = ec0 + ea0 * x0f + eb0 * y0f
+    ec1 = ec1 + ea1 * x0f + eb1 * y0f
+    ec2 = ec2 + ea2 * x0f + eb2 * y0f
+    zc = zc + za * x0f + zb * y0f
 
     # x-parts of the edge/depth planes (reused across rows)
     ex0 = ea0 * xs8 + ec0  # (8, 128)
@@ -246,9 +242,43 @@ def _process_group(
                      ea2 * dx + eb2 * dy, za * dx + zb * dy))
 
     if with_attrs:
-        acols = [(col(C_ATTR + ch), col(C_ATTR + 6 + ch), col(C_ATTR + 12 + ch))
-                 for ch in range(6)]
-    fcols = [col(C_ALPHA), col(C_HAIR), col(C_RAMP), col(C_TEX), col(C_EDGE)]
+        acols = []
+        for ch in range(6):
+            a = col(C_ATTR + ch)
+            bb = col(C_ATTR + 6 + ch)
+            cc = col(C_ATTR + 12 + ch) + a * x0f + bb * y0f
+            acols.append((a, bb, cc))
+    code_col = col(C_ALPHA)
+
+    def winner(y, ys, zz, any_pass):
+        zmask = jnp.where(any_pass, zz, 2.0)
+        zmin = jnp.min(zmask, axis=0, keepdims=True)  # (1, 128)
+        # winner: latest-drawn pair at min z (draw-order ties)
+        cand = jnp.where(zmask == zmin, s_iota, -1.0)
+        win = jnp.max(cand, axis=0, keepdims=True)
+        mask = (s_iota == win) & any_pass  # one-hot over sublanes
+        maskf = mask.astype(jnp.float32)
+        cur_z = gbuf_ref[G_Z, y:y + 1, :]
+        hit = gbuf_ref[G_COVER, y:y + 1, :] > 0.0
+        upd = ((zmin <= cur_z) | jnp.logical_not(hit)) & (zmin < 2.0)
+
+        def msum(vals):
+            return jnp.sum(maskf * vals, axis=0, keepdims=True)
+
+        def put(ch, val):
+            gbuf_ref[ch, y:y + 1, :] = jnp.where(
+                upd, val, gbuf_ref[ch, y:y + 1, :]
+            )
+
+        put(G_Z, zmin)
+        put(G_ALPHA, msum(code_col))
+        if with_attrs:
+            for ch in range(6):
+                a, bb, cc = acols[ch]
+                put(G_UIW + ch, msum(a * xs8 + bb * ys + cc))
+        gbuf_ref[G_COVER, y:y + 1, :] = jnp.where(
+            upd, 1.0, gbuf_ref[G_COVER, y:y + 1, :]
+        )
 
     for y in range(TILE_H):
         ys = y + 0.5  # tile-local (plane constants pre-baked per bin)
@@ -277,38 +307,9 @@ def _process_group(
         if DEBUG_DEPTH_ONLY:
             continue
 
-        zmask = jnp.where(any_pass, zz, 2.0)
-        zmin = jnp.min(zmask, axis=0, keepdims=True)  # (1, 128)
-        # winner: latest-drawn pair at min z (draw-order ties)
-        cand = jnp.where(zmask == zmin, s_iota, -1.0)
-        win = jnp.max(cand, axis=0, keepdims=True)
-        mask = (s_iota == win) & any_pass  # one-hot over sublanes
-        maskf = mask.astype(jnp.float32)
-        cur_z = gbuf_ref[G_Z, y:y + 1, :]
-        hit = gbuf_ref[G_COVER, y:y + 1, :] > 0.0
-        upd = ((zmin <= cur_z) | jnp.logical_not(hit)) & (zmin < 2.0)
-
-        def msum(vals):
-            return jnp.sum(maskf * vals, axis=0, keepdims=True)
-
-        def put(ch, val):
-            gbuf_ref[ch, y:y + 1, :] = jnp.where(
-                upd, val, gbuf_ref[ch, y:y + 1, :]
-            )
-
-        put(G_Z, zmin)
-        put(G_ALPHA, msum(fcols[0]))
-        put(G_HAIR, msum(fcols[1]))
-        put(G_RAMP, msum(fcols[2]))
-        put(G_TEX, msum(fcols[3]))
-        put(G_EDGE, msum(fcols[4]))
-        if with_attrs:
-            for ch in range(6):
-                a, bb, cc = acols[ch]
-                put(G_UIW + ch, msum(a * xs8 + bb * ys + cc))
-        gbuf_ref[G_COVER, y:y + 1, :] = jnp.where(
-            upd, 1.0, gbuf_ref[G_COVER, y:y + 1, :]
-        )
+        # unconditional: a per-row pl.when gate (scalar reduce + branch)
+        # costs more than the winner body it would skip
+        winner(y, ys, zz, any_pass)
 
 
 def _push_pass(
@@ -322,9 +323,17 @@ def _push_pass(
     cover = cover * (1.0 / n_samples)
     hit = gbuf_ref[G_COVER] > 0.0
 
-    a = gbuf_ref[G_ALPHA]
+    # decode the packed material code:
+    # [alpha*1023 | ramp<4b> | tex<4b> | edge<4b> | hair<1b>]
+    code = jnp.round(gbuf_ref[G_ALPHA]).astype(jnp.int32)
+    a = (code & 1023).astype(jnp.float32) * (1.0 / 1023.0)
+    rest = code >> 10
+    ramp_g = (rest & 15).astype(jnp.float32)
+    tex_g = ((rest >> 4) & 15).astype(jnp.float32)
+    edge_g = ((rest >> 8) & 15).astype(jnp.float32)
+    hair_g = ((rest >> 12) & 1).astype(jnp.float32)
     if use_stencil:
-        a = a * jnp.where((stencil_ref[0] > 0.5) & (gbuf_ref[G_HAIR] > 0.5),
+        a = a * jnp.where((stencil_ref[0] > 0.5) & (hair_g > 0.5),
                           0.5, 1.0)
     a_eff = a * cover
     present = hit & (a_eff >= 0.001)
@@ -346,8 +355,7 @@ def _push_pass(
         ST.L_NZIW: gbuf_ref[G_NZIW], ST.L_IW: gbuf_ref[G_IW],
         ST.L_Z: gbuf_ref[G_Z], ST.L_AEFF: a_eff,
         ST.L_OUT: jnp.full((TILE_H, TILE_W), 1.0 if outline else 0.0),
-        ST.L_RAMP: gbuf_ref[G_RAMP], ST.L_TEX: gbuf_ref[G_TEX],
-        ST.L_EDGE: gbuf_ref[G_EDGE],
+        ST.L_RAMP: ramp_g, ST.L_TEX: tex_g, ST.L_EDGE: edge_g,
     }
     for ch in range(ST.L_CH):
         l1 = stack_ref[ST.L_CH + ch]
