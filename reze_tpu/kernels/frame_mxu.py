@@ -96,10 +96,22 @@ def _process_chunk(
     in_seg = (g_idx >= start) & (g_idx < start + count)
     valid_pair = in_seg.astype(jnp.float32)  # (1, 128)
     quad = buft_ref[...]  # (8, 512): [a;b;c;0..] x [e0|e1|e2|z] blocks
+    # fold the tile origin into the plane constants (c' = c + a x0 + b y0)
+    # so planes evaluate at tile-local coordinates — same f32 rounding per
+    # tile as the grouped kernel (frame_tpu._process_group), which keeps
+    # z-ties on near-coplanar geometry resolving consistently. tile_row
+    # carries x0 at lane 8s+0 / y0 at 8s+1; x0/y0 are equal across sample
+    # blocks so lanes 0/1 of the first block suffice.
+    x0 = tile_row[0:1, 0:1]
+    y0 = tile_row[0:1, 1:2]
+    fold = quad[0:1, :] * x0 + quad[1:2, :] * y0  # (1, 512)
+    row2 = (jax.lax.broadcasted_iota(jnp.int32, (8, 4 * CHUNK), 0) == 2)
+    quad = quad + jnp.where(row2, jnp.broadcast_to(fold, (8, 4 * CHUNK)), 0.0)
 
     def planes(si):
         # ONE matmul evaluates all 4 planes for 128 pairs: in-kernel matmuls
-        # are latency-bound (~0.45 us each), so batch into wide-N
+        # are latency-bound (~0.45 us each), so batch into wide-N.
+        # pxy is tile-local (the tile origin is folded into quad above).
         pxy = pxy_ref[:, 8 * si:8 * si + 8]  # (1024, 8), lanes 3+ are zero
         E = jnp.dot(pxy, quad, preferred_element_type=jnp.float32)
         e0 = E[:, 0:128]

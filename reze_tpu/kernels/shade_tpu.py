@@ -89,6 +89,18 @@ def pack_shade_tables(materials: Materials, atlas: TextureAtlas) -> ShadeTables:
     edge = np.asarray(materials.edge_color)  # (M, 4)
     edge_uniq, edge_gid = np.unique(edge[:, :3].round(6), axis=0, return_inverse=True)
 
+    # The megakernel paths pack [ramp|tex|edge] gids into 4-bit fields of one
+    # f32 material code (frame_tpu.pack_pass_rows); >=16 distinct groups would
+    # silently overflow into the neighboring field (wrong texture / edge color
+    # / corrupted hair bit). Fail loudly at pack time instead.
+    for kind, uniq in (("toon ramp", ramp_uniq), ("texture", tex_uniq),
+                       ("edge color", edge_uniq)):
+        if uniq.shape[0] > 16:
+            raise ValueError(
+                f"model has {uniq.shape[0]} distinct {kind} groups; the packed "
+                "material code supports at most 16 (widen the field encoding "
+                "in frame_tpu.pack_pass_rows or dedupe the content)"
+            )
     push_tab = np.stack(
         [np.asarray(materials.alpha),
          edge[:, 3],

@@ -441,6 +441,7 @@ def _contact_velocity_pass(
     inv_mass: Array,
     inv_inertia_w: Array,
     h: Array,
+    g_mag: Array,
 ) -> tuple[Array, Array]:
     """XPBD velocity pass: Coulomb friction + restitution at active contacts.
 
@@ -519,7 +520,9 @@ def _contact_velocity_pass(
     )
     v_n0 = jnp.sum(v_rel0 * n, axis=-1)
     e = pm.restitution[i] * pm.restitution[j]
-    thr = 2.0 * 9.8 * h  # resting threshold (standard XPBD practice)
+    # resting threshold (standard XPBD practice): 2|g|h from the CONFIGURED
+    # gravity so non-default gravity keeps a matched jitter threshold
+    thr = 2.0 * g_mag * h
     want = jnp.where(v_n0 < -thr, -e * v_n0, 0.0)
     dv_n = jnp.maximum(want - v_n, 0.0)
     ok_n = active & (w_n > 0) & (e > 0.0)
@@ -651,7 +654,7 @@ def step(
         # velocity pass: contact friction + restitution (physics.ts:242-243)
         v3, w3 = _contact_velocity_pass(
             pm, act_i, act_j, p2, q2, v2, w2, v, w, inv_mass,
-            _inv_inertia_world(pm, q2), h,
+            _inv_inertia_world(pm, q2), h, jnp.linalg.norm(gravity),
         )
         v2 = jnp.where(dyn, v3, v2)
         w2 = jnp.where(dyn, w3, w2)

@@ -220,10 +220,27 @@ def render_frame(
     eye_pos: Array,  # (3,)
     lights: Lights,
     uvs: Array | None = None,
+    mat_mod: tuple | None = None,
 ) -> Array:
     """Render one frame -> (H, W, 3) float rgb (pre-bloom-tonemap linear)."""
     fb = init_framebuffer(dims, cfg.msaa_samples)
     scale = cfg.outline_scale
+
+    if mat_mod is not None:
+        # material-morph alpha/edge-alpha factors (PMX kind 8), applied the
+        # same way the fast paths scale push_tab (pipeline_tpu.py) so the
+        # backends agree whenever a material morph is active
+        a_scale, a_add, e_scale, e_add = mat_mod
+        alpha_m = jnp.clip(model.materials.alpha * a_scale + a_add, 0.0, 1.0)
+        edge_a = jnp.clip(
+            model.materials.edge_color[:, 3] * e_scale + e_add, 0.0, 1.0
+        )
+        model = model._replace(
+            materials=model.materials._replace(
+                alpha=alpha_m,
+                edge_color=model.materials.edge_color.at[:, 3].set(edge_a),
+            )
+        )
 
     def material_pass(fb, cls, cull, hair=False, eye=False):
         data = _gather_pass(model, pos, nrm, view_proj, cls, False, scale, uvs)

@@ -150,7 +150,8 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None,
             )
         else:
             frame = pipeline.render_frame(
-                model, cfg, dims, pos, nrm, view_proj, eye_pos, lights, uvs=uvs
+                model, cfg, dims, pos, nrm, view_proj, eye_pos, lights,
+                uvs=uvs, mat_mod=mat_mod,
             )
 
         new_state = state.replace(

@@ -133,6 +133,41 @@ def test_big_triangle_full_coverage():
     assert (tiles.mean((1, 3)) > 0.5).all()
 
 
+def test_mxu_rasterizer_matches_group(scene):
+    """rasterizer="mxu" vs the grouped megakernel (both interpret mode).
+
+    The two formulations share pack_pass_rows and the pass/stack semantics;
+    they may differ only in winner tie quantization (the MXU path packs z to
+    2^-18 in the winner key). The frame must be >1 tile wide so the
+    per-tile origin correction in the plane matmuls is exercised
+    (ADVICE r2: global coefficients vs tile-local pixel coords)."""
+    import dataclasses
+
+    s = dict(scene)
+    cfg = dataclasses.replace(
+        scene["cfg"], width=256, height=64,
+        albedo_half_visible=False, albedo_half_occluded=False,
+    )
+    dims = pipeline_tpu.make_dims_fast(cfg)
+    packed = SF.pack_materials(s["model"].materials, s["model"].atlas)
+
+    def render(rasterizer):
+        c = dataclasses.replace(cfg, rasterizer=rasterizer)
+        return np.asarray(pipeline_tpu.render_frame_mega(
+            s["model"], c, dims, packed, s["pos"], s["nrm"],
+            s["cam"].view_proj(), s["cam"].position(), s["lights"],
+            interpret=True,
+        ))
+
+    group = render("group")
+    mxu = render("mxu")
+    covered = (group.sum(-1) > 0.01) | (mxu.sum(-1) > 0.01)
+    assert covered.sum() > 100  # sanity: the scene actually draws
+    diff = np.abs(group - mxu).max(-1)
+    frac_bad = (diff[covered] > 0.02).mean() if covered.any() else 1.0
+    assert frac_bad < 0.02, f"{frac_bad:.4f} of covered pixels differ"
+
+
 def test_pair_overflow_detected():
     from reze_tpu.kernels import raster_tpu as RT
     from reze_tpu.render import raster as R
