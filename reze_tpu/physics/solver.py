@@ -127,8 +127,8 @@ class SolverTables(NamedTuple):
 _TABLE_CACHE: dict[int, SolverTables] = {}
 
 
-def get_tables(pm: PhysicsModel) -> SolverTables:
-    key = id(pm.joint_body_a)
+def get_tables(pm: PhysicsModel, max_contacts: int = 512) -> SolverTables:
+    key = (id(pm.joint_body_a), max_contacts)
     if key not in _TABLE_CACHE:
         colors = color_joints(pm)
         valid = np.asarray(pm.joint_valid)
@@ -148,7 +148,7 @@ def get_tables(pm: PhysicsModel) -> SolverTables:
             color_starts=starts,
             pair_i=pi,
             pair_j=pj,
-            n_active=min(512, pi.shape[0]),
+            n_active=min(max_contacts, pi.shape[0]),
             has_lin_spring=bool((np.asarray(pm.joint_spring_lin)[valid] > 0).any()),
             has_ang_spring=bool((np.asarray(pm.joint_spring_ang)[valid] > 0).any()),
         )
@@ -368,10 +368,14 @@ def _solve_joints_slice(
 
 def _select_active_contacts(
     pm: PhysicsModel, tables: SolverTables, pos: Array, quat: Array
-) -> tuple[Array, Array]:
+) -> tuple[Array, Array, Array]:
     """Once-per-substep broadphase: narrow-phase all candidate pairs and keep
     the n_active closest-to-penetration (Bullet builds its manifold once per
-    step too). Iterations then re-solve only this static-size active set."""
+    step too). Iterations then re-solve only this static-size active set.
+
+    Also returns the number of PENETRATING pairs dropped by the top-k cap —
+    nonzero means the solver ignored real contacts this substep (surfaced in
+    Engine.get_stats as contact_overflow)."""
     i = tables.pair_i
     j = tables.pair_j
     a0, a1, ra = _shape_segment(pm, pos, quat)
@@ -379,7 +383,9 @@ def _select_active_contacts(
     dist = jnp.linalg.norm(c2 - c1, axis=-1)
     score = (ra[i] + ra[j]) - dist  # signed penetration
     _, top = jax.lax.top_k(score, tables.n_active)
-    return jnp.asarray(i)[top], jnp.asarray(j)[top]
+    n_pen = jnp.sum(score > 0.0).astype(jnp.int32)
+    dropped = jnp.maximum(n_pen - tables.n_active, 0)
+    return jnp.asarray(i)[top], jnp.asarray(j)[top], dropped
 
 
 def _solve_contacts(
@@ -558,11 +564,14 @@ def step(
     wq: Array,  # (J, 4) bone world rotations (FK output)
     wp: Array,  # (J, 3) bone world positions
     tables: SolverTables | None = None,
+    with_diag: bool = False,
 ) -> tuple[Array, Array, PhysicsState]:
     """Full physics step; returns updated bone world transforms + state.
 
     ``tables`` must be precomputed from the CONCRETE PhysicsModel when
-    ``pm`` enters as a jit argument (get_tables runs host-side numpy)."""
+    ``pm`` enters as a jit argument (get_tables runs host-side numpy).
+    With ``with_diag`` a 4th value is returned: the max number of
+    penetrating contacts dropped by the top-k cap across substeps."""
     if tables is None:
         tables = get_tables(pm)
     h = jnp.float32(cfg.physics_fixed_dt)
@@ -621,7 +630,7 @@ def step(
     ]
 
     def substep(_, carry):
-        pos, quat, lin_vel, ang_vel = carry
+        pos, quat, lin_vel, ang_vel, sat = carry
         # integrate velocities
         v = jnp.where(dyn, (lin_vel + gravity * h) * lin_damp, lin_vel)
         w = jnp.where(dyn, ang_vel * ang_damp, ang_vel)
@@ -630,7 +639,8 @@ def step(
         q1 = jnp.where(dyn, _quat_add_rot(quat, w * h), quat)
 
         # broadphase once per substep (Bullet builds its manifold per step)
-        act_i, act_j = _select_active_contacts(pm, tables, p1, q1)
+        act_i, act_j, dropped = _select_active_contacts(pm, tables, p1, q1)
+        sat = jnp.maximum(sat, dropped)
 
         # constraint solve
         def solver_iter(_, pq):
@@ -658,12 +668,12 @@ def step(
         )
         v2 = jnp.where(dyn, v3, v2)
         w2 = jnp.where(dyn, w3, w2)
-        return p2, q2, v2, w2
+        return p2, q2, v2, w2, sat
 
     # dynamic trip count: only the substeps that actually run (typically 1-2
     # per frame) instead of a masked scan over the max
-    pos, quat, lin_vel, ang_vel = jax.lax.fori_loop(
-        0, n_sub, substep, (pos, quat, lin_vel, ang_vel)
+    pos, quat, lin_vel, ang_vel, contact_sat = jax.lax.fori_loop(
+        0, n_sub, substep, (pos, quat, lin_vel, ang_vel, jnp.int32(0))
     )
 
     # write dynamic bodies back to bones: bone = body x offset^-1
@@ -690,4 +700,6 @@ def step(
         initialized=jnp.array(True),
         time_accum=accum,
     )
+    if with_diag:
+        return new_wq, new_wp, new_state, contact_sat
     return new_wq, new_wp, new_state

@@ -235,8 +235,8 @@ def render_frame(
         edge_a = jnp.clip(
             model.materials.edge_color[:, 3] * e_scale + e_add, 0.0, 1.0
         )
-        model = model._replace(
-            materials=model.materials._replace(
+        model = model.replace(
+            materials=model.materials.replace(
                 alpha=alpha_m,
                 edge_color=model.materials.edge_color.at[:, 3].set(edge_a),
             )

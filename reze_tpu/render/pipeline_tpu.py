@@ -124,10 +124,11 @@ def render_frame_mega(
     uvs: jax.Array | None = None,
     mat_mod: tuple | None = None,
     shade_tables: "ST.ShadeTables | None" = None,
+    with_diag: bool = False,
 ) -> jax.Array:
     """Whole-frame megakernel path (kernels/frame_tpu.py): all 7 passes +
     layer stack + lighting in one pallas_call; albedo + composite + bloom
-    in XLA."""
+    in XLA. With ``with_diag`` returns (frame, pair_overflow)."""
     from ..kernels import frame_tpu as FT
 
     inv_vp = m3.mat4_inverse(view_proj)
@@ -149,6 +150,49 @@ def render_frame_mega(
         (CLASS_TRANSPARENT, raster.CULL_NONE, False),
         (CLASS_TRANSPARENT, raster.CULL_BACK, True),
     ]
+    if cfg.rasterizer == "stream":
+        # merged-stream megakernel (kernels/frame_stream.py): ONE pair walk
+        # per tile covering all 7 passes
+        from ..kernels import frame_stream as FS
+
+        tabs, bins = [], []
+        for cls, cull, outline in pass_specs:
+            data = _gather_pass(model, pos, nrm, view_proj, cls, outline,
+                                cfg.outline_scale, uvs)
+            t = data.valid.shape[0]
+            assert t < (1 << 15), f"pass has {t} triangles (>= 2^15)"
+            tri = raster.setup_triangles(
+                data.corners_clip, data.valid, dims.wp, dims.hp, cull
+            )
+            cols = tables.push_tab[jnp.maximum(data.tri_mat, 0)]
+            alpha = cols[:, 1] if outline else cols[:, 0]
+            cap = -(-int(t * cfg.pair_cap_scale + 1024) // FS.CHUNK) * FS.CHUNK
+            tab, binfo = FS.build_pass_rows(
+                tri, data.corner_uv, data.corner_nrm, alpha, cols[:, 2],
+                cols[:, 4], cols[:, 5], cols[:, 6],
+                dims.hp // FS.TILE_H, dims.wp // FS.TILE_W, cap,
+                with_attrs=not outline,
+            )
+            tabs.append(tab)
+            bins.append(binfo)
+        st = FS.pack_stream(tabs, bins, dims.hp // FS.TILE_H,
+                            dims.wp // FS.TILE_W)
+        stack_pm = FS.render_megakernel_stream(
+            st, hp=dims.hp, wp=dims.wp, n_samples=cfg.msaa_samples,
+            interpret=interpret,
+        )
+        fby = dims.hp // FS.TILE_H
+        fbx = dims.wp // FS.TILE_W
+        stack = stack_pm.reshape(
+            fby, fbx, FS.TILE_H, FS.TILE_W, 2 * ST.L_CH
+        ).transpose(4, 0, 2, 1, 3).reshape(2 * ST.L_CH, dims.hp, dims.wp)
+        shaded = ST.shade_stack_tpu(
+            stack, tables, lights, None, cfg.rim_light_intensity, eye_pos,
+            inv_vp, interpret=interpret,
+        )
+        o = shaded.reshape(2 * ST.O_CH, dims.p)
+        img = _composite_shaded(o, packed.atlas_flat, dims, cfg)
+        return (img, st.overflow) if with_diag else img
     rows_l, starts_l, counts_l = [], [], []
     overflow = jnp.int32(0)
     offset = 0
@@ -215,7 +259,8 @@ def render_frame_mega(
             interpret=interpret,
         )
     o = shaded.reshape(2 * ST.O_CH, dims.p)
-    return _composite_shaded(o, packed.atlas_flat, dims, cfg)
+    img = _composite_shaded(o, packed.atlas_flat, dims, cfg)
+    return (img, ft.overflow) if with_diag else img
 
 
 class FastDims(NamedTuple):
@@ -260,8 +305,10 @@ def render_frame_fast(
     uvs: jax.Array | None = None,
     mat_mod: tuple | None = None,
     shade_tables: "ST.ShadeTables | None" = None,
+    with_diag: bool = False,
 ) -> jax.Array:
     atlas_stride = model.atlas.texels.shape[2]
+    overflow = jnp.int32(0)
     inv_vp = m3.mat4_inverse(view_proj)
     samples = cfg.msaa_samples
 
@@ -289,6 +336,8 @@ def render_frame_fast(
                 tri, data.corner_uv[sl], data.corner_nrm[sl], data.tri_mat[sl],
                 dims.by, dims.bx,
             )
+            nonlocal overflow
+            overflow = overflow + tabs.overflow
             zb, gbuf = RT.raster_pass_tpu(
                 tabs, zb, bx=dims.bx, depth_write=depth_write,
                 with_attrs=not outline, interpret=interpret,
@@ -390,7 +439,8 @@ def render_frame_fast(
             inv_vp, interpret=interpret,
         )
         o = shaded.reshape(2 * ST.O_CH, dims.p)
-        return _composite_shaded(o, packed.atlas_flat, dims, cfg)
+        img = _composite_shaded(o, packed.atlas_flat, dims, cfg)
+        return (img, overflow) if with_diag else img
     else:
         # 1. opaque
         zbuf, gbuf = run_raster(CLASS_OPAQUE, raster.CULL_NONE, False, True)
@@ -425,4 +475,5 @@ def render_frame_fast(
     img = color.reshape(dims.hp, dims.wp, 3)[: dims.height, : dims.width]
     if cfg.enable_bloom:
         img = post.apply_bloom(img, cfg.bloom_threshold, cfg.bloom_intensity)
-    return jnp.clip(img, 0.0, 1.0)
+    img = jnp.clip(img, 0.0, 1.0)
+    return (img, overflow) if with_diag else img

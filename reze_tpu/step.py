@@ -54,7 +54,7 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None,
     if dims is None:
         dims = pipeline.make_dims(cfg)
     phys_tables = (
-        physics_solver.get_tables(model.physics)
+        physics_solver.get_tables(model.physics, cfg.physics_max_contacts)
         if cfg.enable_physics and model.physics.n_bodies > 0 else None
     )
 
@@ -120,10 +120,11 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None,
 
         # 4. physics (writes world transforms of dynamic-body bones)
         phys_state = state.physics
+        contact_overflow = jnp.int32(0)
         if cfg.enable_physics and model.physics.n_bodies > 0:
-            wq, wp, phys_state = physics_solver.step(
+            wq, wp, phys_state, contact_overflow = physics_solver.step(
                 cfg, model.physics, phys_state, dt, wq, wp,
-                tables=phys_tables,
+                tables=phys_tables, with_diag=True,
             )
 
         # 5. skinning (morph blend + LBS/SDEF)
@@ -134,6 +135,7 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None,
         )
 
         # 6. rasterize + shade + bloom
+        pair_overflow = jnp.int32(0)
         if use_fast:
             packed = packed_const._replace(
                 atlas_flat=model.atlas.texels.reshape(-1, 4)
@@ -143,16 +145,18 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None,
                 if cfg.use_megakernel and cfg.layered_shading
                 else pipeline_tpu.render_frame_fast
             )
-            frame = render(
+            frame, pair_overflow = render(
                 model, cfg, fast_dims, packed, pos, nrm, view_proj, eye_pos,
                 lights, interpret=interpret, uvs=uvs, mat_mod=mat_mod,
-                shade_tables=shade_tables,
+                shade_tables=shade_tables, with_diag=True,
             )
         else:
             frame = pipeline.render_frame(
                 model, cfg, dims, pos, nrm, view_proj, eye_pos, lights,
                 uvs=uvs, mat_mod=mat_mod,
             )
+
+        from .core.types import DiagState
 
         new_state = state.replace(
             time=t,
@@ -161,6 +165,10 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None,
             morph_weights=mw,
             tween=tween_state,
             physics=phys_state,
+            diag=DiagState(
+                pair_overflow=pair_overflow,
+                contact_overflow=contact_overflow,
+            ),
         )
         return new_state, frame
 

@@ -42,8 +42,10 @@ def render(rasterizer):
     ))
 
 
-group = render("group")
-mxu = render("mxu")
+import sys as _s
+r1, r2 = (_s.argv[1], _s.argv[2]) if len(_s.argv) > 2 else ("group", "mxu")
+group = render(r1)
+mxu = render(r2)
 covered = (group.sum(-1) > 0.01) | (mxu.sum(-1) > 0.01)
 diff = np.abs(group - mxu).max(-1)
 print("covered:", covered.sum())
