@@ -1,7 +1,11 @@
 """Benchmark: step+render FPS on one chip for the reference workload.
 
-Prints ONE JSON line:
+Prints ONE JSON line (the shipped default config):
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+plus a stderr line with the reference-fidelity-parity config's FPS
+(full-res bilinear level-0 albedo, the browser sampler of
+engine.ts:188-194, no mip prefilter) so the headline number and the
+parity claim are measured side by side (VERDICT r2 weak #7).
 
 Baseline target (BASELINE.json): >= 240 step+render FPS for the ~20k-vertex
 PMX reference model at 1080p on one TPU v5e chip. The measured loop is the
@@ -10,11 +14,12 @@ skinning, rasterization with MSAA, toon shading, bloom — iterated entirely
 on-device via lax.scan (zero host round-trips, matching the engine design).
 
 Env knobs: BENCH_WIDTH/BENCH_HEIGHT (default 1920x1080), BENCH_FRAMES,
-BENCH_REPS.
+BENCH_REPS, BENCH_PARITY=0 to skip the parity-config run.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -64,37 +69,38 @@ def main():
     }
     cam = Camera(radius=cfg.camera_distance, target=cfg.camera_target, aspect=WIDTH / HEIGHT)
     vp, eye = cam.view_proj(), cam.position()
-    step = make_step(model, cfg, dims)
-    state = init_scene_state(model).replace(playing=jnp.array(True))
-
     dt = jnp.float32(1.0 / 60.0)
 
-    def run_n(state, n_frames):
-        def body(carry, _):
-            s, _ = carry
-            s2, frame = step(s, dt, vp, eye, lights, track, breath)
-            return (s2, frame), None
+    def bench_config(c):
+        step = make_step(model, c, dims)
+        state = init_scene_state(model).replace(playing=jnp.array(True))
 
-        (s, frame), _ = jax.lax.scan(
-            body, (state, jnp.zeros((HEIGHT, WIDTH, 3))), None, length=n_frames
-        )
-        return s, frame
+        def run_n(state, n_frames):
+            def body(carry, _):
+                s, _ = carry
+                s2, frame = step(s, dt, vp, eye, lights, track, breath)
+                return (s2, frame), None
 
-    run = jax.jit(run_n, static_argnums=(1,), donate_argnums=(0,))
+            (s, frame), _ = jax.lax.scan(
+                body, (state, jnp.zeros((HEIGHT, WIDTH, 3))), None,
+                length=n_frames,
+            )
+            return s, frame
 
-    t0 = time.time()
-    state, frame = run(state, 2)  # warm up / compile
-    jax.block_until_ready(frame)
-    compile_s = time.time() - t0
-
-    best = 0.0
-    for _ in range(REPS):
+        run = jax.jit(run_n, static_argnums=(1,), donate_argnums=(0,))
         t0 = time.time()
-        state, frame = run(state, FRAMES)
+        state, frame = run(state, 2)  # warm up / compile
         jax.block_until_ready(frame)
-        fps = FRAMES / (time.time() - t0)
-        best = max(best, fps)
+        compile_s = time.time() - t0
+        best = 0.0
+        for _ in range(REPS):
+            t0 = time.time()
+            state, frame = run(state, FRAMES)
+            jax.block_until_ready(frame)
+            best = max(best, FRAMES / (time.time() - t0))
+        return best, compile_s
 
+    best, compile_s = bench_config(cfg)
     result = {
         "metric": f"step+render frames/sec/chip ({WIDTH}x{HEIGHT}, 28.8k-vert PMX, physics+IK+MSAA+bloom)",
         "value": round(best, 2),
@@ -103,6 +109,20 @@ def main():
     }
     print(json.dumps(result))
     print(f"# compile: {compile_s:.1f}s, device: {jax.devices()[0]}", file=sys.stderr)
+
+    if os.environ.get("BENCH_PARITY", "1") != "0":
+        # reference-fidelity parity: the browser's sampler is full-res
+        # bilinear level-0 (engine.ts:188-194)
+        parity_cfg = dataclasses.replace(
+            cfg, albedo_bilinear=True, albedo_half_visible=False,
+            albedo_half_occluded=False, albedo_mips=False,
+        )
+        p_best, _ = bench_config(parity_cfg)
+        print(
+            f"# parity config (full-res bilinear level-0 albedo): "
+            f"{p_best:.2f} FPS ({p_best / BASELINE_FPS:.4f} of baseline)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

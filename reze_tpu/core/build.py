@@ -362,6 +362,7 @@ def build_materials_and_atlas(
         img = images[ti]
         texels[i, : img.shape[0], : img.shape[1]] = img
         sizes[i] = (img.shape[0], img.shape[1])
+    mip_flat, mip_base = build_mip_chain(texels, sizes)
 
     alpha = np.zeros(m, np.float32)
     diffuse_rgb = np.zeros((m, 3), np.float32)
@@ -399,7 +400,48 @@ def build_materials_and_atlas(
         is_hair=is_hair,
         is_transparent=is_transparent,
     )
-    return mats, T.TextureAtlas(texels=texels, sizes=sizes)
+    return mats, T.TextureAtlas(texels=texels, sizes=sizes,
+                                mip_flat=mip_flat, mip_base=mip_base)
+
+
+def build_mip_chain(
+    texels: np.ndarray, sizes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dense mip pyramid for every texture (level 0 included).
+
+    Level l+1 is the 2x2 box average of level l (odd trailing row/column
+    dropped, GPU-style floor halving), down to 1x1; every texture carries
+    the same global level count so the kernel's per-level base table is
+    rectangular. Returns (mip_flat (S, 4) u8, mip_base (N, L) i32) — see
+    TextureAtlas. The reference has no mip chain (engine.ts:188-194 samples
+    level 0 with a linear filter); this exists because TPU deferred shading
+    pays ~10 ns per gather regardless of locality, so minification
+    filtering must be done by prefiltering, not by multi-tap sampling.
+    """
+    n = texels.shape[0]
+    hw = [(int(sizes[i, 0]), int(sizes[i, 1])) for i in range(n)]
+    n_levels = max(
+        1, max(max(h, w) for h, w in hw).bit_length()
+    )  # max(h,w) >> (L-1) == 1
+    chunks: list[np.ndarray] = []
+    base = np.zeros((n, n_levels), np.int64)
+    off = 0
+    for i in range(n):
+        h, w = hw[i]
+        img = texels[i, :h, :w].astype(np.float32)
+        for l in range(n_levels):
+            base[i, l] = off
+            q = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+            chunks.append(q.reshape(-1, 4))
+            off += img.shape[0] * img.shape[1]
+            if img.shape[0] > 1:
+                img = img[: img.shape[0] // 2 * 2]
+                img = 0.5 * (img[0::2] + img[1::2])
+            if img.shape[1] > 1:
+                img = img[:, : img.shape[1] // 2 * 2]
+                img = 0.5 * (img[:, 0::2] + img[:, 1::2])
+    flat = np.concatenate(chunks, axis=0)
+    return flat, base.astype(np.int32)
 
 
 # ---------------------------------------------------------------------------

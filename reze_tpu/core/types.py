@@ -84,6 +84,15 @@ class EngineConfig:
     # bilinear filtering (engine.ts:189-190 uses a linear sampler); nearest
     # by default: 4x fewer gathers, visibly close at >=1080p
     albedo_bilinear: bool = False
+    # mip-chain minification filtering for the albedo fetch. The reference
+    # samples level 0 only (engine.ts:188-194) and visibly aliases at the
+    # demo's ~8:1 texture minification; the TPU-first default prefilters
+    # into a mip chain (built at load, core/build.py) with per-pixel LOD
+    # from screen-space uv derivatives — removes the aliasing AND makes the
+    # half-res fetch exact (the half-res layer samples one level coarser).
+    # Set False for texel-exact reference parity (with albedo_bilinear=True
+    # and full-res fetches).
+    albedo_mips: bool = True
     # whole-frame megakernel (kernels/frame_tpu.py): all passes + layer
     # stack + lighting in one pallas_call
     use_megakernel: bool = True
@@ -208,6 +217,14 @@ class Materials:
 class TextureAtlas:
     texels: Array  # (N, H, W, 4) uint8 (padded to common size)
     sizes: Array  # (N, 2) i32 (height, width) actual
+    # mip chain (None when not built): densely packed rgba rows for every
+    # (texture, level) including level 0 — level l of texture i spans
+    # mip_flat[mip_base[i, l] : mip_base[i, l] + h_l * w_l] row-major with
+    # stride w_l, where h_l = max(h >> l, 1), w_l = max(w >> l, 1). All
+    # textures carry the same global level count (deep levels degenerate to
+    # 1x1). The reference samples level 0 only (engine.ts:188-194).
+    mip_flat: Array | None = None  # (S, 4) uint8
+    mip_base: Array | None = None  # (N, L) i32
 
 
 @struct.dataclass

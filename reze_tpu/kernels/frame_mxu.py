@@ -137,6 +137,7 @@ def _process_chunk(
     zb_all = jnp.dot(state_ref[:, S_Z0:S_Z0 + 4], selz,
                      preferred_element_type=jnp.float32,
                      precision=PREC)  # (1024, 512)
+    any_pass = None
     for s in range(n_samples):
         inside, zz = planes(s)
         zb = zb_all[:, s * CHUNK:(s + 1) * CHUNK]
@@ -149,14 +150,17 @@ def _process_chunk(
             state_ref[:, S_WON + s:S_WON + s + 1],
             (zmin_s < 2.0).astype(jnp.float32),
         )
+        any_pass = passed if any_pass is None else (any_pass | passed)
 
-    # --- winner at pixel center: packed (z, draw order) integer key ---
-    inside_c, zc = planes(n_samples)
+    # --- winner at pixel center: packed (z, draw order) integer key.
+    # Gate = passed ANY sample (grouped-kernel rule): center-gating drops
+    # silhouette fragments whose center lies outside the triangle ---
+    _, zc = planes(n_samples)
     zq = jnp.clip(zc * ZQ, 0.0, ZQ - 1.0).astype(jnp.int32)
     seg_id = jnp.clip(g_idx - start, 0, IDB - 1)  # (1, 128) i32
     key = (zq << 13) | (IDB - 1 - seg_id)
     sentinel = jnp.int32(2 ** 31 - 1)
-    key = jnp.where(inside_c & (zc >= 0.0) & (zc <= 1.0), key, sentinel)
+    key = jnp.where(any_pass, key, sentinel)
     kmin = jnp.min(key, axis=1, keepdims=True)  # (1024, 1) i32
     best = pltpu.bitcast(state_ref[:, S_BEST:S_BEST + 1], jnp.int32)
     new_best = jnp.minimum(best, kmin)

@@ -14,25 +14,27 @@ the walk so a tile pays its fixed costs ONCE:
 * ONE center plane matmul per chunk ((1024,8)@(8,512) via the MXU); the 4
   MSAA sample positions reuse it through per-lane offset rows
   (E_s = E_c + a*dx + b*dy as a (1,512) row) instead of 4 more matmuls;
-* per-pass state lives in lanes of a single (1024, 128) pixel-major
-  scratch: shared per-sample depth (4) + per-(pass, sample) coverage (28)
-  + per-pass packed winner keys (7) + per-pass resolved fragments
-  (4 material passes x 19 + 3 outline passes x 1 = 79);
-* depth ordering across passes inside a chunk is exact: the per-pass
-  updates run in pass order, each testing against the zbuf updated by the
-  previous pass's lanes;
+* the per-pass walk is a lax.fori_loop over passes, NOT 7 unrolled
+  pl.when regions: Mosaic sums the vector stack across unrolled regions
+  (v1 of this kernel demanded 38.6 MB of scoped VMEM and ran 3x slower
+  than the grouped kernel, spill-bound); a single loop region keeps the
+  live set at one pass's temporaries. Per-pass divergence (depth-write
+  flag, stream bounds) is data, read from SMEM at the loop index;
+* depth ordering across passes inside a chunk is exact: pass p+1 tests
+  against the per-sample depth already updated by pass p (pass-ordered
+  loop iterations);
 * winner keys pack (z_q17 << 14 | 16383 - draw) — 14 draw bits per
-  (tile, pass) segment (the r2 kernel's 13-bit aliasing is gone) and
-  fragments resolve per chunk by one-hot MXU matmuls against the resident
-  rows;
-* the 7 sequential layer-stack pushes collapse into a closed form at tile
-  end: the 2-layer stack recurrence (render/pipeline_tpu.push) reduces to
-  l1 = LAST present fragment, l0 = SECOND-LAST if l1 is translucent else 0
-  (opaque fragments zero the background; translucent ones displace), with
-  the eye-stencil rule applied from pass 1's coverage before selection.
+  (tile, pass) segment; fragments resolve per chunk by one-hot MXU
+  matmuls against the resident rows;
+* the kernel emits RAW per-pass winner state (best key, per-sample
+  coverage, resolved fragment) — the 2-layer stack compose runs in XLA
+  (compose_stream_state): on (1024-pixel, lane) tiles the compose math is
+  (1024, 1) single-lane column ops at ~1/128 lane utilization (~31 ms of
+  the v1 frame); as planar XLA elementwise it fuses into the
+  pixel-major -> spatial relayout the caller already performs.
 
-Output: the (1024, 2*L_CH) pixel-major stack block per tile, shaded by
-kernels/shade_tpu like the r2 MXU path.
+Output: (B*1024, S_OUT) pixel-major raw state, composed + shaded by the
+caller (render/pipeline_tpu.py + kernels/shade_tpu.py).
 
 Reference parity: pass ordering and fixed-function state of
 engine.ts:2123-2243 (less-equal depth, draw-order ties, per-pass cull at
@@ -58,25 +60,22 @@ TILE_H = 8
 TILE_W = 128
 N_PX = TILE_H * TILE_W
 
-# ---- state lane layout (single (1024, 128) f32 scratch) ----
-S_Z = 0                       # 4 per-sample depths (shared across passes)
-S_WON = 4                     # 28 = N_PASSES x 4 per-sample coverage flags
-S_BEST = S_WON + 4 * N_PASSES  # 7 packed winner keys (int32 bitcast)
-S_FRAG = S_BEST + N_PASSES    # per-pass fragments
-# material passes store [code, a0..5, b0..5, c0..5] (19 lanes); outline
-# passes store [code] (1 lane)
 MAT_PASSES = tuple(p for p, c in enumerate(PASS_CFG) if not c[0])  # 0,1,3,5
 OUT_PASSES = tuple(p for p, c in enumerate(PASS_CFG) if c[0])  # 2,4,6
-N_FRAG_MAT = 19
-_frag_off = {}
-_off = S_FRAG
-for _p in range(N_PASSES):
-    _frag_off[_p] = _off
-    _off += N_FRAG_MAT if _p in MAT_PASSES else 1
-N_STATE = _off  # 118
-assert N_STATE <= 128, N_STATE
-DEBUG = False  # pl.debug_print tracing (interpret mode)
-DEBUG_RAW = False  # compose dumps raw state lanes 0..23 instead of the stack
+N_FRAG = 19  # [code, a0..5, b0..5, c0..5] (uniform; outline rows carry 0s)
+
+# ---- per-pass scratch block: rows [p*N_PX:(p+1)*N_PX] of a (7*N_PX, PS_W)
+# buffer (dynamic SUBLANE offsets are cheap; dynamic lane offsets are not)
+PS_BEST = 0                   # packed winner key (i32 bitcast)
+PS_WON = 1                    # 4 per-sample coverage flags
+PS_FRAG = PS_WON + 4          # 19 resolved fragment lanes
+PS_W = PS_FRAG + N_FRAG       # 24
+
+# ---- raw output lanes per pixel (pixel-major (B*1024, S_OUT)) ----
+O_BEST = 0                    # 7 winner keys
+O_COVER = O_BEST + N_PASSES   # 7 summed coverage (0..n_samples)
+O_FRAG = O_COVER + N_PASSES   # 7 x 19 fragment lanes
+S_OUT = O_FRAG + N_PASSES * N_FRAG  # 147 -> padded to 256 lanes by Mosaic
 
 # stream row layout (differs from frame_tpu: code and attrs are packed
 # contiguously so the one-hot resolve is ONE matmul slice):
@@ -197,7 +196,6 @@ def build_pass_rows(
     code = (jnp.round(jnp.clip(alpha, 0.0, 1.0) * 1023.0)
             + 1024.0 * (ramp_gid + 16.0 * tex_gid + 256.0 * edge_gid
                         + 4096.0 * is_hair.astype(jnp.float32)))
-    zero = jnp.zeros_like(code)
     cols = [
         ea[:, 0], eb[:, 0], ec[:, 0],
         ea[:, 1], eb[:, 1], ec[:, 1],
@@ -245,14 +243,6 @@ def build_pass_rows(
     return tab, (bin_id, ok, tri_of_k, total)
 
 
-def _make_init_row() -> np.ndarray:
-    row = np.zeros((1, 128), np.float32)
-    row[0, S_Z:S_Z + 4] = 1.0
-    best = np.full(N_PASSES, SENTINEL, np.int32)
-    row[0, S_BEST:S_BEST + N_PASSES] = best.view(np.float32)
-    return row
-
-
 def _bcast(col, n=128):
     """(1024, 1) -> (1024, n) via MXU (plain lane broadcasts cost ~79
     ns/vreg; one small matmul is ~0.26 us for the whole column)."""
@@ -261,10 +251,10 @@ def _bcast(col, n=128):
 
 
 def _process_chunk(
-    state_ref, buf_ref, buft_ref, pxy_ref, x0, y0, win_base, bounds, t0, t1,
-    *, n_samples,
+    z_ref, pass_ref, buf_ref, buft_ref, pxy_ref, dw_ref, x0, y0, win_base,
+    bounds_ref, b, *, n_samples,
 ):
-    """Walk one 128-pair window: all passes present in it, in order."""
+    """Walk one 128-pair window: fori_loop over the passes present in it."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK), 1)[0:1, :]
     g_idx = win_base + lane  # (1, 128) global stream index of each lane
 
@@ -293,206 +283,89 @@ def _process_chunk(
 
     # center winner key for all lanes (shared; masked per pass below)
     zq = jnp.clip(zc * ZQ, 0.0, ZQ - 1.0).astype(jnp.int32)
-    center_ok = (e0c >= 0) & (e1c >= 0) & (e2c >= 0) & (zc >= 0.0) & (zc <= 1.0)
 
-    # per-sample depth columns broadcast across pair lanes with ONE selection
-    # matmul per pass (plain (1024,1)->(1024,128) lane broadcasts cost
-    # ~79 ns/vreg); recomputed per PASS so cross-pass depth ordering inside
-    # a chunk stays exact, while within a pass the r2 intra-chunk relaxation
-    # (test vs pre-pass z, exact min update) is harmless as before
-    selz = (jax.lax.broadcasted_iota(jnp.int32, (8, n_samples * CHUNK), 1)
-            // CHUNK
-            == jax.lax.broadcasted_iota(jnp.int32, (8, n_samples * CHUNK), 0)
-            ).astype(jnp.float32)[0:n_samples, :]  # (S, S*128)
+    chunk = buf_ref[...]
+    resolve_cols = chunk[:, SC_CODE:SC_CODE + SC_RESOLVE_W]
 
-    for p, (outline, depth_write, _ws, _us) in enumerate(PASS_CFG):
-        p0 = jnp.maximum(bounds[p], win_base)
-        p1 = jnp.minimum(bounds[p + 1], win_base + CHUNK)
+    def pass_body(p, _):
+        b0 = bounds_ref[p, b]
+        b1 = bounds_ref[p + 1, b]
+        p0 = jnp.maximum(b0, win_base)
+        p1 = jnp.minimum(b1, win_base + CHUNK)
 
         @pl.when(p1 > p0)
-        def _(p=p, outline=outline, depth_write=depth_write, p0=p0):
-            in_p = (g_idx >= bounds[p]) & (g_idx < bounds[p + 1])  # (1, 128)
-            zb_all = jnp.dot(state_ref[:, S_Z:S_Z + n_samples], selz,
-                             preferred_element_type=jnp.float32,
-                             precision=PREC)
+        def _():
+            in_p = (g_idx >= b0) & (g_idx < b1)  # (1, 128)
+            dw = dw_ref[0, p]  # depth-write flag (data, not code)
+            rb = p * N_PX
             # --- per-sample depth test + coverage (pass-ordered) ---
+            any_pass = None
             for s in range(n_samples):
                 o0, o1, o2, oz = offs[s]
                 zs = zc + oz
                 inside = (
                     (e0c >= -o0) & (e1c >= -o1) & (e2c >= -o2) & in_p
                 )
-                zb = zb_all[:, s * CHUNK:(s + 1) * CHUNK]
+                zcol = z_ref[:, s:s + 1]
+                zb = _bcast(zcol)
                 passed = inside & (zs <= zb) & (zs >= 0.0) & (zs <= 1.0)
                 zmin_s = jnp.min(jnp.where(passed, zs, 2.0), axis=1,
                                  keepdims=True)
-                if depth_write:
-                    state_ref[:, S_Z + s:S_Z + s + 1] = jnp.minimum(
-                        state_ref[:, S_Z + s:S_Z + s + 1], zmin_s)
-                w = S_WON + 4 * p + s
-                state_ref[:, w:w + 1] = jnp.maximum(
-                    state_ref[:, w:w + 1], (zmin_s < 2.0).astype(jnp.float32)
+                won_s = zmin_s < 2.0
+                z_ref[:, s:s + 1] = jnp.where(
+                    dw > 0, jnp.minimum(zcol, zmin_s), zcol)
+                w = PS_WON + s
+                pass_ref[pl.ds(rb, N_PX), w:w + 1] = jnp.maximum(
+                    pass_ref[pl.ds(rb, N_PX), w:w + 1],
+                    won_s.astype(jnp.float32),
                 )
+                any_pass = passed if any_pass is None else (any_pass | passed)
 
-            # --- winner: packed (z_q17, draw) key min over this pass ---
-            seg_id = jnp.clip(g_idx - bounds[p], 0, IDB - 1)
+            # --- winner: packed (z_q17, draw) key min over this pass.
+            # Gate = passed ANY sample (the grouped kernel's rule): at
+            # silhouette pixels the center can be outside the triangle
+            # while samples are covered; center-gating drops those
+            # fragments entirely ---
+            seg_id = jnp.clip(g_idx - b0, 0, IDB - 1)
             key = (zq << 14) | (IDB - 1 - seg_id)
-            key = jnp.where(center_ok & in_p, key, SENTINEL)
+            key = jnp.where(any_pass, key, SENTINEL)
             kmin = jnp.min(key, axis=1, keepdims=True)  # (1024, 1) i32
-            bl = S_BEST + p
-            best = pltpu.bitcast(state_ref[:, bl:bl + 1], jnp.int32)
+            best = pltpu.bitcast(
+                pass_ref[pl.ds(rb, N_PX), PS_BEST:PS_BEST + 1], jnp.int32)
             new_best = jnp.minimum(best, kmin)
-            state_ref[:, bl:bl + 1] = pltpu.bitcast(new_best, jnp.float32)
+            pass_ref[pl.ds(rb, N_PX), PS_BEST:PS_BEST + 1] = pltpu.bitcast(
+                new_best, jnp.float32)
 
             # --- resolve fragment channels where this chunk improved ---
             win_id = (IDB - 1) - (new_best & (IDB - 1))
-            local = win_id + (bounds[p] - win_base)  # lane of the winner
+            local = win_id + (b0 - win_base)  # lane of the winner
             improved = (new_best < best) & (new_best < SENTINEL)
             sel = jnp.where(improved, local, -1)
             onehot = (_bcast(sel.astype(jnp.float32))
                       == lane.astype(jnp.float32)).astype(jnp.float32)
-            chunk = buf_ref[...]
-            nf = N_FRAG_MAT if not outline else 1
-            # cols: [code, attrs18, ones] — contiguous in the stream row
-            # layout; the ones column rides along as the won indicator so
-            # no second broadcast is needed
-            cols = chunk[:, SC_CODE:SC_CODE + SC_RESOLVE_W]
             res = jax.lax.dot_general(
-                onehot, cols, (((1,), (0,)), ((), ())),
+                onehot, resolve_cols, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=PREC,
             )  # (1024, SC_RESOLVE_W)
-            frag = res[:, 0:nf]
-            wonb = _bcast(res[:, SC_RESOLVE_W - 1:SC_RESOLVE_W])[:, 0:nf]
-            fb = _frag_off[p]
-            old = state_ref[:, fb:fb + nf]
-            state_ref[:, fb:fb + nf] = frag * wonb + old * (1.0 - wonb)
+            frag = res[:, 0:N_FRAG]
+            wonb = _bcast(res[:, SC_RESOLVE_W - 1:SC_RESOLVE_W], N_FRAG)
+            old = pass_ref[pl.ds(rb, N_PX), PS_FRAG:PS_FRAG + N_FRAG]
+            pass_ref[pl.ds(rb, N_PX), PS_FRAG:PS_FRAG + N_FRAG] = (
+                frag * wonb + old * (1.0 - wonb))
 
+        return 0
 
-
-def _compose_tile(state_ref, out_ref, pxy_ref, x0, y0, *, n_samples):
-    """Closed-form 2-layer stack from the per-pass winner state.
-
-    l1 = last present fragment (pass order), l0 = second-last if l1 is
-    translucent else 0 — exactly the fixpoint of the per-pass push
-    recurrence in render/pipeline_tpu.push (see module docstring).
-    """
-    st = state_ref[...]
-    if DEBUG_RAW:
-        d = int(DEBUG_RAW)
-        out_ref[...] = st[:, d:d + 2 * ST.L_CH]
-        return
-    inv_s = 1.0 / n_samples
-    # attr planes are GLOBAL-coordinate (only the edge/z quad table is
-    # tile-folded): evaluate at global pixel centers, broadcast to the 6
-    # attr lanes once via the MXU
-    pxb = _bcast(pxy_ref[:, 0:1] + x0, 6)
-    pyb = _bcast(pxy_ref[:, 1:2] + y0, 6)
-
-    # per-pass scalars (pixel-major columns)
-    present = []
-    opaque_l = []
-    a_eff_l = []
-    z_l = []
-    code_l = []
-    hit_l = []
-    # stencil: pass 1 (eyes) coverage
-    best1 = pltpu.bitcast(st[:, S_BEST + 1:S_BEST + 2], jnp.int32)
-    cover1 = sum(st[:, S_WON + 4 + s:S_WON + 5 + s] for s in range(n_samples))
-    stencil = (best1 < SENTINEL) & (cover1 > 0.0)
-
-    for p, (outline, _dw, _ws, use_stencil) in enumerate(PASS_CFG):
-        cover = sum(
-            st[:, S_WON + 4 * p + s:S_WON + 4 * p + s + 1]
-            for s in range(n_samples)
-        ) * inv_s
-        bl = S_BEST + p
-        best = pltpu.bitcast(st[:, bl:bl + 1], jnp.int32)
-        hit = best < SENTINEL
-        zc = (best >> 14).astype(jnp.float32) * (1.0 / ZQ)
-        fb = _frag_off[p]
-        code = jnp.round(st[:, fb:fb + 1]).astype(jnp.int32)
-        alpha = (code & 1023).astype(jnp.float32) * (1.0 / 1023.0)
-        is_hair = ((code >> 22) & 1).astype(jnp.float32)
-        a = alpha
-        if use_stencil:
-            a = a * jnp.where(stencil & (is_hair > 0.5), 0.5, 1.0)
-        ae = jnp.where(hit, a * cover, 0.0)
-        pres = ae >= 0.001
-        ae = jnp.where(pres, ae, 0.0)
-        present.append(pres)
-        opaque_l.append(pres & (ae > 0.999))
-        a_eff_l.append(ae)
-        z_l.append(zc)
-        code_l.append(code)
-        hit_l.append(hit)
-
-    # take1: last present pass; take2: the one before it
-    take1 = []
-    take2 = []
-    seen1 = jnp.zeros_like(present[0])
-    seen2 = jnp.zeros_like(present[0])
-    for p in range(N_PASSES - 1, -1, -1):
-        t1 = present[p] & ~seen1
-        seen1 = seen1 | present[p]
-        t2 = present[p] & seen1 & ~t1 & ~seen2
-        seen2 = seen2 | t2
-        take1.append(t1)
-        take2.append(t2)
-    take1 = take1[::-1]
-    take2 = take2[::-1]
-
-    # l1 opaque? (needed to decide whether l0 survives)
-    l1_opaque = jnp.zeros_like(present[0])
-    for p in range(N_PASSES):
-        l1_opaque = l1_opaque | (take1[p] & opaque_l[p])
-
-    def layer(select, alive):
-        """Build the 12 stack channels for one layer from the per-pass
-        state under the one-hot pass-select columns."""
-        zero = jnp.zeros((N_PX, 1))
-        uvn = jnp.zeros((N_PX, 6))  # a,b,c-evaluated attr channels
-        aeff = zero
-        zch = zero
-        outl = zero
-        ramp = zero
-        tex = zero
-        edge = zero
-        for p in range(N_PASSES):
-            selp = (select[p] & alive).astype(jnp.float32)
-            is_out = p in OUT_PASSES
-            aeff = aeff + selp * a_eff_l[p]
-            zch = zch + selp * z_l[p]
-            rest = code_l[p] >> 10
-            ramp = ramp + selp * (rest & 15).astype(jnp.float32)
-            tex = tex + selp * ((rest >> 4) & 15).astype(jnp.float32)
-            edge = edge + selp * ((rest >> 8) & 15).astype(jnp.float32)
-            if is_out:
-                outl = outl + selp
-            else:
-                fb = _frag_off[p]
-                a6 = st[:, fb + 1:fb + 7]
-                b6 = st[:, fb + 7:fb + 13]
-                c6 = st[:, fb + 13:fb + 19]
-                attrs = a6 * pxb + b6 * pyb + c6
-                uvn = uvn + _bcast(selp, 6) * attrs
-        return jnp.concatenate(
-            [uvn, zch, aeff, outl, ramp, tex, edge], axis=1
-        )  # (N_PX, L_CH)
-
-    l1 = layer(take1, jnp.ones_like(present[0], jnp.bool_))
-    l0 = layer(take2, ~l1_opaque)
-    out_ref[...] = jnp.concatenate([l0, l1], axis=1)
+    jax.lax.fori_loop(0, N_PASSES, pass_body, 0)
 
 
 def _frame_kernel_stream(
     bounds_ref,  # SMEM (8, B)
+    dw_ref,      # SMEM (1, 8) i32 per-pass depth-write flags
     rows_hbm,    # ANY (CAP + CHUNK, ROW_W)
     quad_hbm,    # ANY (8, 4 * (CAP + CHUNK))
-    pxy_ref,     # VMEM (1024, 8): [x+.5, y+.5, 1, 0...] tile-local + GLOBAL
-    #              px/py in lanes 3,4 for attr evaluation
-    init_ref,    # VMEM (1, 128) state init row
-    out_ref,     # (1024, 2 * L_CH) block
-    state_ref, buf_ref, buft_ref, sem_ref, semt_ref,
+    pxy_ref,     # VMEM (1024, 8): [x+.5, y+.5, 1, 0...] tile-local
+    out_ref,     # (1024, S_OUT) block
+    z_ref, pass_ref, buf_ref, buft_ref, sem_ref, semt_ref,
     *,
     bx: int, n_samples: int,
 ):
@@ -507,10 +380,17 @@ def _frame_kernel_stream(
     @pl.when(t1 <= t0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
+        # empty tiles still need sentinel winner keys (hit = best < SENTINEL)
+        sent = pltpu.bitcast(
+            jnp.full((N_PX, N_PASSES), SENTINEL, jnp.int32), jnp.float32)
+        out_ref[:, O_BEST:O_BEST + N_PASSES] = sent
 
     @pl.when(t1 > t0)
     def _():
-        state_ref[...] = jnp.broadcast_to(init_ref[...], (N_PX, 128))
+        z_ref[...] = jnp.ones_like(z_ref)
+        pass_ref[...] = jnp.zeros_like(pass_ref)
+        pass_ref[:, PS_BEST:PS_BEST + 1] = pltpu.bitcast(
+            jnp.full((N_PASSES * N_PX, 1), SENTINEL, jnp.int32), jnp.float32)
         astart = (t0 // CHUNK) * CHUNK
         n_chunks = pl.cdiv(t1 - astart, CHUNK)
 
@@ -529,8 +409,6 @@ def _frame_kernel_stream(
         dma(0, 0).start()
         dma_t(0, 0).start()
 
-        bounds = [bounds_ref[p, b] for p in range(8)]
-
         def chunk_body(ci, _):
             slot = jax.lax.rem(ci, 2)
 
@@ -545,8 +423,8 @@ def _frame_kernel_stream(
 
             def use(bref, btref):
                 _process_chunk(
-                    state_ref, bref, btref, pxy_ref, x0, y0, win_base,
-                    bounds, t0, t1, n_samples=n_samples,
+                    z_ref, pass_ref, bref, btref, pxy_ref, dw_ref, x0, y0,
+                    win_base, bounds_ref, b, n_samples=n_samples,
                 )
 
             @pl.when(slot == 0)
@@ -560,8 +438,19 @@ def _frame_kernel_stream(
             return 0
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-        _compose_tile(state_ref, out_ref, pxy_ref, x0, y0,
-                      n_samples=n_samples)
+
+        # ---- emit raw per-pass state (compose happens in XLA) ----
+        for p in range(N_PASSES):
+            rb = p * N_PX
+            out_ref[:, O_BEST + p:O_BEST + p + 1] = pass_ref[
+                pl.ds(rb, N_PX), PS_BEST:PS_BEST + 1]
+            cov = pass_ref[pl.ds(rb, N_PX), PS_WON:PS_WON + 1]
+            for s in range(1, n_samples):
+                cov = cov + pass_ref[pl.ds(rb, N_PX), PS_WON + s:PS_WON + s + 1]
+            out_ref[:, O_COVER + p:O_COVER + p + 1] = cov
+            fb = O_FRAG + p * N_FRAG
+            out_ref[:, fb:fb + N_FRAG] = pass_ref[
+                pl.ds(rb, N_PX), PS_FRAG:PS_FRAG + N_FRAG]
 
 
 def render_megakernel_stream(
@@ -572,7 +461,7 @@ def render_megakernel_stream(
     n_samples: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """-> stack (B*1024, 2*L_CH) pixel-major, tile-major over bins."""
+    """-> raw state (B*1024, S_OUT) pixel-major, tile-major over bins."""
     bx = wp // TILE_W
     by = hp // TILE_H
     b = bx * by
@@ -581,6 +470,8 @@ def render_megakernel_stream(
     pxy[:, 0] = ii % TILE_W + 0.5
     pxy[:, 1] = ii // TILE_W + 0.5
     pxy[:, 2] = 1.0
+    dw = np.asarray(
+        [[1 if c[1] else 0 for c in PASS_CFG] + [0]], np.int32)  # (1, 8)
     kernel = functools.partial(
         _frame_kernel_stream, bx=bx, n_samples=n_samples
     )
@@ -589,18 +480,19 @@ def render_megakernel_stream(
         grid=(by, bx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # bounds
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # depth-write flags
             pl.BlockSpec(memory_space=pltpu.ANY),    # rows (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),    # quad (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # pxy
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # init row
         ],
         out_specs=pl.BlockSpec(
-            (N_PX, 2 * ST.L_CH), lambda i, j: (i * bx + j, 0),
+            (N_PX, S_OUT), lambda i, j: (i * bx + j, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b * N_PX, 2 * ST.L_CH), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * N_PX, S_OUT), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((N_PX, 128), jnp.float32),
+            pltpu.VMEM((N_PX, n_samples), jnp.float32),          # depth
+            pltpu.VMEM((N_PASSES * N_PX, PS_W), jnp.float32),    # per-pass
             pltpu.VMEM((2, CHUNK, ROW_W), jnp.float32),
             pltpu.VMEM((2, 8, 4 * CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -610,5 +502,106 @@ def render_megakernel_stream(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(tables.bounds, tables.rows, tables.quad, jnp.asarray(pxy),
-      jnp.asarray(_make_init_row()))
+    )(tables.bounds, jnp.asarray(dw), tables.rows, tables.quad,
+      jnp.asarray(pxy))
+
+
+def compose_stream_state(
+    raw: jax.Array,  # (B*1024, S_OUT) pixel-major raw state
+    hp: int,
+    wp: int,
+    n_samples: int,
+) -> jax.Array:
+    """Raw per-pass winner state -> (2*L_CH, hp, wp) planar 2-layer stack.
+
+    The closed form of the per-pass push recurrence
+    (render/pipeline_tpu.push): l1 = LAST present fragment in pass order,
+    l0 = SECOND-LAST if l1 is translucent else empty (an opaque fragment
+    zeroes the stack beneath it), with the eye-stencil rule (pass 1
+    coverage halves hair alpha) applied before presence. Runs in XLA:
+    planar elementwise ops fuse into the pixel-major -> spatial relayout.
+    """
+    bx = wp // TILE_W
+    by = hp // TILE_H
+    # pixel-major tile-major -> spatial planar (S_OUT, hp, wp)
+    st = raw.reshape(by, bx, TILE_H, TILE_W, S_OUT)
+    st = st.transpose(4, 0, 2, 1, 3).reshape(S_OUT, hp, wp)
+
+    inv_s = 1.0 / n_samples
+    best = [st[O_BEST + p].view(jnp.int32) for p in range(N_PASSES)]
+    cover = [st[O_COVER + p] * inv_s for p in range(N_PASSES)]
+    code = [
+        jnp.round(st[O_FRAG + p * N_FRAG]).astype(jnp.int32)
+        for p in range(N_PASSES)
+    ]
+
+    # stencil: pass 1 (eyes) hit+coverage
+    stencil = (best[1] < SENTINEL) & (cover[1] > 0.0)
+
+    present, opaque_l, a_eff_l, z_l = [], [], [], []
+    for p, (outline, _dw, _ws, use_stencil) in enumerate(PASS_CFG):
+        hit = best[p] < SENTINEL
+        alpha = (code[p] & 1023).astype(jnp.float32) * (1.0 / 1023.0)
+        is_hair = ((code[p] >> 22) & 1).astype(jnp.float32)
+        a = alpha
+        if use_stencil:
+            a = a * jnp.where(stencil & (is_hair > 0.5), 0.5, 1.0)
+        ae = jnp.where(hit, a * cover[p], 0.0)
+        pres = ae >= 0.001
+        present.append(pres)
+        opaque_l.append(pres & (ae > 0.999))
+        a_eff_l.append(jnp.where(pres, ae, 0.0))
+        z_l.append((best[p] >> 14).astype(jnp.float32) * (1.0 / ZQ))
+
+    # take1: last present pass; take2: the one before it
+    take1, take2 = [], []
+    seen1 = jnp.zeros_like(present[0])
+    seen2 = jnp.zeros_like(present[0])
+    for p in range(N_PASSES - 1, -1, -1):
+        t1 = present[p] & ~seen1
+        seen1 = seen1 | present[p]
+        t2 = present[p] & seen1 & ~t1 & ~seen2
+        seen2 = seen2 | t2
+        take1.append(t1)
+        take2.append(t2)
+    take1 = take1[::-1]
+    take2 = take2[::-1]
+
+    l1_opaque = jnp.zeros_like(present[0])
+    for p in range(N_PASSES):
+        l1_opaque = l1_opaque | (take1[p] & opaque_l[p])
+
+    px = jnp.arange(wp, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.arange(hp, dtype=jnp.float32)[:, None] + 0.5
+
+    def layer(select, alive):
+        z = jnp.zeros((hp, wp))
+        uvn = [z] * 6
+        aeff = z
+        zch = z
+        outl = z
+        ramp = z
+        tex = z
+        edge = z
+        for p, (is_out, *_rest) in enumerate(PASS_CFG):
+            selp = (select[p] & alive).astype(jnp.float32)
+            aeff = aeff + selp * a_eff_l[p]
+            zch = zch + selp * z_l[p]
+            rest = code[p] >> 10
+            ramp = ramp + selp * (rest & 15).astype(jnp.float32)
+            tex = tex + selp * ((rest >> 4) & 15).astype(jnp.float32)
+            edge = edge + selp * ((rest >> 8) & 15).astype(jnp.float32)
+            if is_out:
+                outl = outl + selp
+            else:
+                fb = O_FRAG + p * N_FRAG
+                for c in range(6):
+                    a6 = st[fb + 1 + c]
+                    b6 = st[fb + 7 + c]
+                    c6 = st[fb + 13 + c]
+                    uvn[c] = uvn[c] + selp * (a6 * px + b6 * py + c6)
+        return jnp.stack(uvn + [zch, aeff, outl, ramp, tex, edge])
+
+    l1 = layer(take1, jnp.ones_like(present[0]))
+    l0 = layer(take2, ~l1_opaque)
+    return jnp.concatenate([l0, l1], axis=0)  # (2*L_CH, hp, wp)

@@ -374,6 +374,7 @@ def _frame_kernel(
     buf_ref, sem_ref,  # DMA scratch: (2, CHUNK, ROW_W) + 2 sems
     *,
     bx: int, wp: int, hp: int, n_samples: int, kr: int, kt: int, ke: int,
+    n_levels: int,
 ):
     bi = pl.program_id(0)
     bj = pl.program_id(1)
@@ -480,7 +481,7 @@ def _frame_kernel(
             ST._shade_layer(
                 stk, knot_ref[...], tex_ref[...], edge_ref[...], ldir_ref[...],
                 lcol_ref[...], misc_ref[...], inv_vp_ref[...], xs32, ys32,
-                wp, hp, kr, kt, ke, out_ref, base,
+                wp, hp, kr, kt, ke, out_ref, base, n_levels,
             )
         # a_eff rides in the rim channel's sibling: write it to O_AEFF slot
         out_ref[base + ST.O_AEFF] = stk[ST.L_AEFF]
@@ -498,6 +499,8 @@ def render_megakernel(
     wp: int,
     n_samples: int,
     interpret: bool = False,
+    use_mips: bool = False,
+    lod_bias: tuple[float, float] = (0.0, 0.0),
 ) -> jax.Array:
     """-> (2*O_CH, HP, WP) shade outputs (see shade_tpu channel layout)."""
     bx = wp // TILE_W
@@ -507,12 +510,14 @@ def render_megakernel(
     misc = jnp.stack(
         [lights.ambient, jnp.float32(rim_intensity),
          eye_pos[0], eye_pos[1], eye_pos[2],
-         jnp.float32(shade_tables.atlas_stride), jnp.float32(0), jnp.float32(0)]
+         jnp.float32(shade_tables.atlas_stride),
+         jnp.float32(lod_bias[0]), jnp.float32(lod_bias[1])]
     )[None, :]
     kernel = functools.partial(
         _frame_kernel, bx=bx, wp=wp, hp=hp, n_samples=n_samples,
         kr=shade_tables.knot_tab.shape[0], kt=shade_tables.tex_tab.shape[0],
         ke=shade_tables.edge_tab.shape[0],
+        n_levels=shade_tables.tex_tab.shape[1] - 4 if use_mips else 0,
     )
     return pl.pallas_call(
         kernel,

@@ -78,12 +78,24 @@ def pack_shade_tables(materials: Materials, atlas: TextureAtlas) -> ShadeTables:
     tex_id = np.asarray(materials.tex_id)
     sizes = np.asarray(atlas.sizes)
     safe = np.maximum(tex_id, 0)
-    tex_rows = np.stack(
-        [sizes[safe, 0].astype(np.float32),
-         sizes[safe, 1].astype(np.float32),
-         (safe * th * tw).astype(np.float32),
-         (tex_id >= 0).astype(np.float32)], axis=1,
-    )  # (M, 4) [h, w, base, valid]
+    cols = [sizes[safe, 0].astype(np.float32),
+            sizes[safe, 1].astype(np.float32),
+            (safe * th * tw).astype(np.float32),
+            (tex_id >= 0).astype(np.float32)]
+    if atlas.mip_base is not None:
+        # per-level dense-chain base offsets (columns 4:4+L); level-l dims
+        # derive in-kernel as max(h >> l, 1) — see TextureAtlas
+        mb = np.asarray(atlas.mip_base)
+        # texel indices ride f32 kernel lanes: beyond 2^24 the index grid
+        # loses odd values (the padded level-0 atlas of the flagship model
+        # already exceeds this at 21M rows — one reason the mip chain, at
+        # 13M dense rows, is the default). Fail loudly rather than sample
+        # off-by-one texels.
+        assert atlas.mip_flat.shape[0] < (1 << 24), (
+            f"mip chain has {atlas.mip_flat.shape[0]} rows; f32 texel "
+            "indices are exact only below 2^24 — shard the atlas")
+        cols.extend(mb[safe, l].astype(np.float32) for l in range(mb.shape[1]))
+    tex_rows = np.stack(cols, axis=1)  # (M, 4 [+ L]) [h, w, base, valid, ...]
     tex_uniq, tex_gid = np.unique(tex_rows, axis=0, return_inverse=True)
 
     edge = np.asarray(materials.edge_color)  # (M, 4)
@@ -130,7 +142,7 @@ def _group_sel(gid, tab, col, n_groups, init=0.0):
 
 def _shade_layer(
     stk, knot_tab, tex_tab, edge_tab, ldir, lcol, misc, inv_vp, xs, ys,
-    wp, hp, kr, kt, ke, out_ref, base,
+    wp, hp, kr, kt, ke, out_ref, base, n_levels,
 ):
     mat_present = stk[L_AEFF] > 0.0
     iw = jnp.maximum(stk[L_IW], 1e-8)
@@ -147,19 +159,58 @@ def _shade_layer(
     tex_gid = stk[L_TEX]
     tex_h = _group_sel(tex_gid, tex_tab, 0, kt, 1.0)
     tex_w = _group_sel(tex_gid, tex_tab, 1, kt, 1.0)
-    tex_base = _group_sel(tex_gid, tex_tab, 2, kt)
     tex_ok = _group_sel(tex_gid, tex_tab, 3, kt)
-    atlas_stride = misc[0, 5]
-    tu = (u - jnp.floor(u)) * tex_w - 0.5
-    tv = (v - jnp.floor(v)) * tex_h - 0.5
-    x0 = jnp.clip(jnp.floor(tu), 0.0, tex_w - 1.0)
-    y0 = jnp.clip(jnp.floor(tv), 0.0, tex_h - 1.0)
-    fx = jnp.clip(tu - x0, 0.0, 1.0)
-    fy = jnp.clip(tv - y0, 0.0, 1.0)
-    dx = jnp.where(x0 + 1.0 <= tex_w - 1.0, 1.0, 0.0)
-    dy = jnp.where(y0 + 1.0 <= tex_h - 1.0, atlas_stride, 0.0)
-    # bilinear base texel; nearest = base + (fx>0.5)*dx + (fy>0.5)*dy
-    texidx_bl = tex_base + y0 * atlas_stride + x0
+    if n_levels > 0:
+        # ---- mip path: per-pixel LOD from screen-space uv derivatives,
+        # indices into the dense mip chain (TextureAtlas.mip_flat) ----
+        def fd(a, axis):
+            # robust screen derivative: min-|.| of forward/backward diffs
+            # (picks the within-surface side at fragment borders; roll
+            # wraps at tile edges, harmless for LOD selection). pltpu.roll
+            # requires shift >= 0: size-1 == -1 (rotation).
+            f = pltpu.roll(a, a.shape[axis] - 1, axis) - a
+            b2 = a - pltpu.roll(a, 1, axis)
+            return jnp.where(jnp.abs(f) < jnp.abs(b2), f, b2)
+
+        rho = jnp.maximum(
+            jnp.maximum(jnp.abs(fd(u, 1)), jnp.abs(fd(u, 0))) * tex_w,
+            jnp.maximum(jnp.abs(fd(v, 1)), jnp.abs(fd(v, 0))) * tex_h,
+        )
+        lod_bias = misc[0, 6 + base // O_CH]  # +1 per half-res layer
+        lod = jnp.log2(jnp.maximum(rho, 1e-6)) + lod_bias
+        level = jnp.clip(jnp.round(lod), 0.0, float(n_levels - 1))
+        scale = jnp.exp2(-level)
+        # exact max(dim >> l, 1): f32 scaling by 2^-l only shifts the
+        # exponent, so floor matches the host's integer halving
+        wl = jnp.maximum(jnp.floor(tex_w * scale), 1.0)
+        hl = jnp.maximum(jnp.floor(tex_h * scale), 1.0)
+        base_l = jnp.zeros_like(u)
+        for l in range(n_levels):
+            base_l = jnp.where(
+                level == l, _group_sel(tex_gid, tex_tab, 4 + l, kt), base_l
+            )
+        tu = (u - jnp.floor(u)) * wl - 0.5
+        tv = (v - jnp.floor(v)) * hl - 0.5
+        x0 = jnp.clip(jnp.floor(tu), 0.0, wl - 1.0)
+        y0 = jnp.clip(jnp.floor(tv), 0.0, hl - 1.0)
+        fx = jnp.clip(tu - x0, 0.0, 1.0)
+        fy = jnp.clip(tv - y0, 0.0, 1.0)
+        dx = jnp.where(x0 + 1.0 <= wl - 1.0, 1.0, 0.0)
+        dy = jnp.where(y0 + 1.0 <= hl - 1.0, wl, 0.0)
+        texidx_bl = base_l + y0 * wl + x0
+    else:
+        tex_base = _group_sel(tex_gid, tex_tab, 2, kt)
+        atlas_stride = misc[0, 5]
+        tu = (u - jnp.floor(u)) * tex_w - 0.5
+        tv = (v - jnp.floor(v)) * tex_h - 0.5
+        x0 = jnp.clip(jnp.floor(tu), 0.0, tex_w - 1.0)
+        y0 = jnp.clip(jnp.floor(tv), 0.0, tex_h - 1.0)
+        fx = jnp.clip(tu - x0, 0.0, 1.0)
+        fy = jnp.clip(tv - y0, 0.0, 1.0)
+        dx = jnp.where(x0 + 1.0 <= tex_w - 1.0, 1.0, 0.0)
+        dy = jnp.where(y0 + 1.0 <= tex_h - 1.0, atlas_stride, 0.0)
+        # bilinear base texel; nearest = base + (fx>0.5)*dx + (fy>0.5)*dy
+        texidx_bl = tex_base + y0 * atlas_stride + x0
 
     # --- toon lighting ---
     ramp_gid = stk[L_RAMP]
@@ -229,7 +280,7 @@ def _shade_layer(
 def _shade_kernel(
     stack_ref, knot_ref, tex_ref, edge_ref, ldir_ref, lcol_ref, misc_ref,
     inv_vp_ref, out_ref,
-    *, wp: int, hp: int, kr: int, kt: int, ke: int,
+    *, wp: int, hp: int, kr: int, kt: int, ke: int, n_levels: int,
 ):
     x0 = (pl.program_id(1) * TILE_W).astype(jnp.float32)
     y0 = (pl.program_id(0) * TILE_H).astype(jnp.float32)
@@ -258,7 +309,7 @@ def _shade_kernel(
             _shade_layer(
                 stk, knot_ref[...], tex_ref[...], edge_ref[...], ldir_ref[...],
                 lcol_ref[...], misc_ref[...], inv_vp_ref[...], xs, ys,
-                wp, hp, kr, kt, ke, out_ref, base,
+                wp, hp, kr, kt, ke, out_ref, base, n_levels,
             )
         out_ref[base + O_AEFF] = stk[L_AEFF]
 
@@ -272,20 +323,29 @@ def shade_stack_tpu(
     eye_pos: jax.Array,
     inv_vp: jax.Array,
     interpret: bool = False,
+    use_mips: bool = False,
+    lod_bias: tuple[float, float] = (0.0, 0.0),
 ) -> jax.Array:
-    """-> (2*O_CH, HP, WP) planar shade outputs per layer."""
+    """-> (2*O_CH, HP, WP) planar shade outputs per layer.
+
+    With ``use_mips`` (and mip columns present in tex_tab) texel indices
+    address TextureAtlas.mip_flat at a per-pixel LOD; ``lod_bias`` adds a
+    per-layer bias (+1 for a half-res-fetched layer).
+    """
     _, hp, wp = stack.shape
+    n_levels = tables.tex_tab.shape[1] - 4 if use_mips else 0
     active = (jnp.arange(4) < lights.count).astype(jnp.float32)[:, None]
     lcol = lights.color * lights.intensity[:, None] * active
     misc = jnp.stack(
         [lights.ambient, jnp.float32(rim_intensity),
          eye_pos[0], eye_pos[1], eye_pos[2],
-         jnp.float32(tables.atlas_stride), jnp.float32(0), jnp.float32(0)]
+         jnp.float32(tables.atlas_stride), jnp.float32(lod_bias[0]),
+         jnp.float32(lod_bias[1])]
     )[None, :]
     kernel = functools.partial(
         _shade_kernel, wp=wp, hp=hp,
         kr=tables.knot_tab.shape[0], kt=tables.tex_tab.shape[0],
-        ke=tables.edge_tab.shape[0],
+        ke=tables.edge_tab.shape[0], n_levels=n_levels,
     )
     return pl.pallas_call(
         kernel,

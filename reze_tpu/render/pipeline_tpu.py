@@ -84,6 +84,17 @@ def _fetch_albedo(atlas_flat, o, base, dims, *, bilinear: bool, half_res: bool):
 
 
 
+def _mip_args(cfg: EngineConfig, model: ModelArrays) -> tuple[bool, tuple]:
+    """(use_mips, per-layer lod bias) for the shade kernels; a half-res
+    fetched layer samples one level coarser so the 2x2-replicated result
+    matches full-res sampling of the prefiltered chain."""
+    use = cfg.albedo_mips and model.atlas.mip_base is not None
+    if not use:
+        return False, (0.0, 0.0)
+    return True, (1.0 if cfg.albedo_half_occluded else 0.0,
+                  1.0 if cfg.albedo_half_visible else 0.0)
+
+
 def _composite_shaded(o, atlas_flat, dims, cfg):
     """Shade-kernel outputs (2*O_CH, P) -> (H, W, 3) with albedo + bloom."""
     cr = cg = cb = jnp.zeros((dims.p,))
@@ -177,21 +188,21 @@ def render_frame_mega(
             bins.append(binfo)
         st = FS.pack_stream(tabs, bins, dims.hp // FS.TILE_H,
                             dims.wp // FS.TILE_W)
-        stack_pm = FS.render_megakernel_stream(
+        raw = FS.render_megakernel_stream(
             st, hp=dims.hp, wp=dims.wp, n_samples=cfg.msaa_samples,
             interpret=interpret,
         )
-        fby = dims.hp // FS.TILE_H
-        fbx = dims.wp // FS.TILE_W
-        stack = stack_pm.reshape(
-            fby, fbx, FS.TILE_H, FS.TILE_W, 2 * ST.L_CH
-        ).transpose(4, 0, 2, 1, 3).reshape(2 * ST.L_CH, dims.hp, dims.wp)
+        stack = FS.compose_stream_state(
+            raw, dims.hp, dims.wp, cfg.msaa_samples
+        )
+        use_mips, lod_bias = _mip_args(cfg, model)
         shaded = ST.shade_stack_tpu(
             stack, tables, lights, None, cfg.rim_light_intensity, eye_pos,
-            inv_vp, interpret=interpret,
+            inv_vp, interpret=interpret, use_mips=use_mips, lod_bias=lod_bias,
         )
         o = shaded.reshape(2 * ST.O_CH, dims.p)
-        img = _composite_shaded(o, packed.atlas_flat, dims, cfg)
+        flat = model.atlas.mip_flat if use_mips else packed.atlas_flat
+        img = _composite_shaded(o, flat, dims, cfg)
         return (img, st.overflow) if with_diag else img
     rows_l, starts_l, counts_l = [], [], []
     overflow = jnp.int32(0)
@@ -236,6 +247,7 @@ def render_frame_mega(
         counts=jnp.stack(counts_l),
         overflow=overflow,
     )
+    use_mips, lod_bias = _mip_args(cfg, model)
     if cfg.rasterizer == "mxu":
         from ..kernels import frame_mxu as FM
 
@@ -250,16 +262,17 @@ def render_frame_mega(
         ).transpose(4, 0, 2, 1, 3).reshape(2 * ST.L_CH, dims.hp, dims.wp)
         shaded = ST.shade_stack_tpu(
             stack, tables, lights, None, cfg.rim_light_intensity, eye_pos,
-            inv_vp, interpret=interpret,
+            inv_vp, interpret=interpret, use_mips=use_mips, lod_bias=lod_bias,
         )
     else:
         shaded = FT.render_megakernel(
             ft, tables, lights, cfg.rim_light_intensity, eye_pos, inv_vp,
             hp=dims.hp, wp=dims.wp, n_samples=cfg.msaa_samples,
-            interpret=interpret,
+            interpret=interpret, use_mips=use_mips, lod_bias=lod_bias,
         )
     o = shaded.reshape(2 * ST.O_CH, dims.p)
-    img = _composite_shaded(o, packed.atlas_flat, dims, cfg)
+    flat = model.atlas.mip_flat if use_mips else packed.atlas_flat
+    img = _composite_shaded(o, flat, dims, cfg)
     return (img, ft.overflow) if with_diag else img
 
 
@@ -434,12 +447,14 @@ def render_frame_fast(
         zbuf, gbuf = run_raster(CLASS_TRANSPARENT, raster.CULL_BACK, True, True)
         stack, stencil = push(stack, stencil, gbuf, True)
 
+        use_mips, lod_bias = _mip_args(cfg, model)
         shaded = ST.shade_stack_tpu(
             stack, tables, lights, None, cfg.rim_light_intensity, eye_pos,
-            inv_vp, interpret=interpret,
+            inv_vp, interpret=interpret, use_mips=use_mips, lod_bias=lod_bias,
         )
         o = shaded.reshape(2 * ST.O_CH, dims.p)
-        img = _composite_shaded(o, packed.atlas_flat, dims, cfg)
+        flat = model.atlas.mip_flat if use_mips else packed.atlas_flat
+        img = _composite_shaded(o, flat, dims, cfg)
         return (img, overflow) if with_diag else img
     else:
         # 1. opaque

@@ -114,7 +114,13 @@ def make_test_model(n_bones: int = 8, j_pad: int = 8, v_pad: int = 64) -> T.Mode
     # nearest-vs-bilinear difference between renderer paths)
     gy, gx = np.meshgrid(np.linspace(60, 220, 8), np.linspace(40, 240, 8), indexing="ij")
     texels = np.stack([gx, gy, 0.5 * (gx + gy), np.full((8, 8), 255.0)], -1)[None]
-    atlas = T.TextureAtlas(texels=texels.astype(np.uint8), sizes=np.array([[8, 8]], np.int32))
+    from .core.build import build_mip_chain
+
+    tex_u8 = texels.astype(np.uint8)
+    tex_sizes = np.array([[8, 8]], np.int32)
+    mip_flat, mip_base = build_mip_chain(tex_u8, tex_sizes)
+    atlas = T.TextureAtlas(texels=tex_u8, sizes=tex_sizes,
+                           mip_flat=mip_flat, mip_base=mip_base)
 
     morphs_off = np.zeros((2, v_pad, 3), np.float32)
     morphs_off[0, 0] = (0.0, 0.2, 0.0)

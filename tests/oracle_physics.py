@@ -1,0 +1,140 @@
+"""Scalar sequential-impulse physics oracle (NumPy).
+
+An independent implementation of the Bullet semantics the reference
+configures (physics.ts:534-569 stepping, btGeneric6DofSpringConstraint
+setup at physics.ts:370-431 with BT_CONSTRAINT_STOP_ERP = 0.475), used to
+bound the divergence of the TPU XPBD solver against Bullet-style dynamics
+(VERDICT r2 weak #6: parity was plausibility-only).
+
+Scope: the MMD-dominant joint configuration — linear axes hard-locked
+(min == max == 0 -> a point-to-point constraint at the joint frame) with
+wide-open angular limits — plus gravity, Bullet damping
+(v *= (1 - d)^h), and the stepSimulation(dt, maxSubSteps=10, fixed=1/75)
+accumulator. The constraint solve is velocity-level sequential impulse
+with Baumgarte stabilization (bias = erp/h * C), iterated Gauss-Seidel
+like btSequentialImpulseConstraintSolver; the 3 linear rows of each joint
+solve as one 3x3 block (equivalent to row-wise GS at convergence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _quat_rotate(q, v):
+    x, y, z, w = q
+    u = np.array([x, y, z])
+    return v + 2.0 * np.cross(u, np.cross(u, v) + w * v)
+
+
+def _quat_mul(a, b):
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return np.array([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    ])
+
+
+def _quat_integrate(q, w, h):
+    dq = np.array([w[0] * h * 0.5, w[1] * h * 0.5, w[2] * h * 0.5, 0.0])
+    q = q + _quat_mul(dq, q)
+    return q / np.linalg.norm(q)
+
+
+def _skew(v):
+    return np.array([
+        [0.0, -v[2], v[1]],
+        [v[2], 0.0, -v[0]],
+        [-v[1], v[0], 0.0],
+    ])
+
+
+def _quat_to_mat(q):
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+class OracleWorld:
+    """Bodies with point-to-point joints, sequential-impulse solved."""
+
+    def __init__(self, pos, quat, inv_mass, inv_inertia_diag, lin_damp,
+                 ang_damp, joints, gravity=(0.0, -98.0, 0.0),
+                 fixed_h=1.0 / 75.0, max_substeps=10, iterations=10,
+                 erp=0.475):
+        self.x = np.array(pos, np.float64)
+        self.q = np.array(quat, np.float64)
+        self.v = np.zeros_like(self.x)
+        self.w = np.zeros_like(self.x)
+        self.inv_m = np.array(inv_mass, np.float64)
+        # static bodies are immovable in ALL dof: zero inverse inertia too
+        # (a nonzero value would let impulses spin the constraint frame of a
+        # pinned anchor without the body ever integrating)
+        self.inv_i_local = np.where(
+            (self.inv_m == 0.0)[:, None], 0.0,
+            np.array(inv_inertia_diag, np.float64),
+        )
+        self.lin_damp = np.array(lin_damp, np.float64)
+        self.ang_damp = np.array(ang_damp, np.float64)
+        # joints: list of (body_a, body_b, anchor_a_local, anchor_b_local)
+        self.joints = joints
+        self.g = np.array(gravity, np.float64)
+        self.h = fixed_h
+        self.max_sub = max_substeps
+        self.iters = iterations
+        self.erp = erp
+        self.accum = 0.0
+
+    def _inv_inertia_world(self, i):
+        r = _quat_to_mat(self.q[i])
+        return r @ np.diag(self.inv_i_local[i]) @ r.T
+
+    def step(self, dt):
+        # Bullet stepSimulation accumulator (btDiscreteDynamicsWorld)
+        self.accum += dt
+        n = int(np.floor(self.accum / self.h))
+        self.accum -= n * self.h
+        for _ in range(min(n, self.max_sub)):
+            self._substep(self.h)
+
+    def _substep(self, h):
+        dyn = self.inv_m > 0
+        # predict velocities (Bullet: integrate gravity then damping)
+        self.v[dyn] += self.g * h
+        self.v[dyn] *= np.clip(1.0 - self.lin_damp[dyn, None], 0, 1) ** h
+        self.w[dyn] *= np.clip(1.0 - self.ang_damp[dyn, None], 0, 1) ** h
+
+        # sequential impulse with Baumgarte bias from current position error
+        pre = []
+        for (a, b, la, lb) in self.joints:
+            ra = _quat_rotate(self.q[a], la)
+            rb = _quat_rotate(self.q[b], lb)
+            c_err = (self.x[b] + rb) - (self.x[a] + ra)
+            ia = self._inv_inertia_world(a)
+            ib = self._inv_inertia_world(b)
+            k = (self.inv_m[a] + self.inv_m[b]) * np.eye(3) \
+                - _skew(ra) @ ia @ _skew(ra) \
+                - _skew(rb) @ ib @ _skew(rb)
+            pre.append((ra, rb, c_err, ia, ib, np.linalg.inv(k)))
+        for _ in range(self.iters):
+            for (a, b, la, lb), (ra, rb, c_err, ia, ib, kinv) in zip(
+                    self.joints, pre):
+                u = (self.v[b] + np.cross(self.w[b], rb)) \
+                    - (self.v[a] + np.cross(self.w[a], ra))
+                bias = (self.erp / h) * c_err
+                p = -kinv @ (u + bias)
+                self.v[a] -= p * self.inv_m[a]
+                self.w[a] -= ia @ np.cross(ra, p)
+                self.v[b] += p * self.inv_m[b]
+                self.w[b] += ib @ np.cross(rb, p)
+
+        # integrate
+        self.x[dyn] += self.v[dyn] * h
+        for i in np.nonzero(dyn)[0]:
+            self.q[i] = _quat_integrate(self.q[i], self.w[i], h)

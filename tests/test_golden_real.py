@@ -105,6 +105,9 @@ def test_fast_path_tight_parity(scene):
         cfg, width=256, height=256, enable_bloom=False,
         albedo_bilinear=True, albedo_half_occluded=False,
         albedo_half_visible=False,
+        # the XLA oracle is level-0 bilinear (reference sampler semantics,
+        # engine.ts:188-194); compare the fast path at the same fidelity
+        albedo_mips=False,
     )
     cam = Camera(radius=13.5, target=(0.0, 17.1, 0.0), aspect=1.0)
     dims_x = pipeline.make_dims(cfg)

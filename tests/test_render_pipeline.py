@@ -18,8 +18,10 @@ def scene():
     model = make_test_model()
     cfg = EngineConfig(width=128, height=64, tile_size=64, max_tris_per_bin=16,
                        enable_bloom=False,
-                       # parity fixtures sample albedo at full res
-                       albedo_half_visible=False, albedo_half_occluded=False)
+                       # parity fixtures sample albedo at full res, level 0
+                       # (the XLA oracle has no mip chain)
+                       albedo_half_visible=False, albedo_half_occluded=False,
+                       albedo_mips=False)
     cam = Camera(alpha=np.pi, beta=np.pi / 2, radius=4.5, target=(0.0, 2.0, 0.0),
                  aspect=2.0)
     from reze_tpu.skeleton import fk
