@@ -69,10 +69,69 @@ def make_batched_step(
         cfg.renderer == "auto" and jax.default_backend() != "cpu"
     )
 
+    if use_fast and cfg.use_megakernel and cfg.layered_shading and (
+            cfg.rasterizer == "stream"):
+        # Batched megakernel crowd: vmap the pure-XLA simulation over the
+        # character axis and rasterize ALL local characters in ONE Pallas
+        # launch (character = leading grid axis, kernels/frame_stream.py);
+        # multi-chip crowds shard the batch with shard_map so each chip
+        # batches its local slice.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P2
+
+        from .core.types import DiagState
+        from .kernels import shade_tpu as _ST
+        from .render import pipeline_tpu, shading_fast
+
+        fast_dims = pipeline_tpu.make_dims_fast(cfg)
+        packed_const = shading_fast.pack_materials(model.materials,
+                                                   model.atlas)
+        shade_tables = _ST.pack_shade_tables(model.materials, model.atlas)
+        shade_tables = shade_tables._replace(
+            atlas_flat=jnp.zeros((1, 4), jnp.uint8))
+        interpret = jax.default_backend() == "cpu"
+
+        def crowd_step(states, dt, view_projs, eyes, lights, track, breath):
+            sim = jax.vmap(single.simulate,
+                           in_axes=(None, 0, None, track_axes, None))
+            (t, rot, trans, mw, tween_state, phys_state, contact_overflow,
+             pos, nrm, uvs, mat_mod) = sim(model, states, dt, track, breath)
+            packed = packed_const._replace(
+                atlas_flat=model.atlas.texels.reshape(-1, 4))
+            frames, pair_ofl = pipeline_tpu.render_crowd_mega(
+                model, cfg, fast_dims, packed, pos, nrm, view_projs, eyes,
+                lights, interpret=interpret, uvs=uvs, mat_mod=mat_mod,
+                shade_tables=shade_tables, with_diag=True,
+            )
+            new_states = states.replace(
+                time=t, local_rot=rot, local_trans=trans, morph_weights=mw,
+                tween=tween_state, physics=phys_state,
+                diag=DiagState(pair_overflow=pair_ofl,
+                               contact_overflow=contact_overflow),
+            )
+            return new_states, frames
+
+        def batched(states, dt, view_projs, eyes, lights, track, breath):
+            if mesh.size > 1:
+                tr_spec = P2("data") if per_character_clips else P2()
+                mapped = shard_map(
+                    crowd_step, mesh=mesh,
+                    in_specs=(P2("data"), P2(), P2("data"), P2("data"),
+                              P2(), tr_spec, P2()),
+                    out_specs=P2("data"),
+                    check_rep=False,
+                )
+                return mapped(states, dt, view_projs, eyes, lights, track,
+                              breath)
+            return crowd_step(states, dt, view_projs, eyes, lights, track,
+                              breath)
+
+        return jax.jit(batched, donate_argnums=(0,))
+
     if use_fast:
-        # The Pallas raster kernel cannot be vmapped; characters run as a
-        # device-side lax.map (sequential per chip), and multi-chip crowds
-        # shard the batch with shard_map so each chip maps its local slice.
+        # Non-stream fast paths: the grouped Pallas kernels cannot take a
+        # batch grid axis; characters run as a device-side lax.map
+        # (sequential per chip), sharded over chips with shard_map.
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P2
 

@@ -145,11 +145,14 @@ def pack_stream(
     rows = tab_all[row_idx]  # (cap, ROW_W) — the big gather
     rows = jnp.where(live[:, None], rows, 0.0)
 
-    # bounds (8, B): searchsorted over the (bin*8 + pass) keys; pass slot 7
-    # is unused by any pair, so its position = end of the tile's stream
-    q = jnp.arange(b_total * 8, dtype=jnp.int32)
-    bounds = jnp.searchsorted(sk, q).astype(jnp.int32).reshape(b_total, 8).T
-    bounds = jnp.minimum(bounds, cap)
+    # bounds (8, B): segment starts over the (bin*8 + pass) keys; pass slot
+    # 7 is unused by any pair, so its position = end of the tile's stream.
+    # histogram + exclusive cumsum (monotone searchsorted is slow on TPU —
+    # see build_pass_rows)
+    counts_q = jnp.zeros((b_total * 8,), jnp.int32).at[sk].add(
+        1, mode="drop", indices_are_sorted=True)
+    bounds = jnp.cumsum(counts_q) - counts_q  # exclusive: #{sk < q}
+    bounds = jnp.minimum(bounds, cap).reshape(b_total, 8).T
 
     rows_all = jnp.concatenate([rows, jnp.zeros((CHUNK, ROW_W))])
     n = rows_all.shape[0]
@@ -220,7 +223,13 @@ def build_pass_rows(
         [tab, attr, ones, jnp.zeros((t, ROW_W - SC_ONES - 1))], axis=1
     )
 
-    # exact (bin, tri) pair enumeration (cumsum + searchsorted)
+    # exact (bin, tri) pair enumeration. The run-length expansion
+    # "tri_of_k[k] = the i with starts[i] <= k < ends[i]" is NOT done with
+    # searchsorted: its monotone queries lower to ~log2(t) serialized gather
+    # rounds over (cap,) and measured 26.5 ms of the 32 ms pack at 1080p.
+    # Because k = arange(cap) is monotone, one scatter-add of segment marks
+    # at each triangle's start + a cumsum gives the same map in O(cap)
+    # vector work (scatter drops out-of-cap indices).
     bx0 = jnp.clip(jnp.floor((xmin - 0.5) / TILE_W), 0, bx - 1).astype(jnp.int32)
     bx1 = jnp.clip(jnp.floor((xmax + 0.5) / TILE_W), 0, bx - 1).astype(jnp.int32)
     by0 = jnp.clip(jnp.floor((ymin - 0.5) / TILE_H), 0, by - 1).astype(jnp.int32)
@@ -232,9 +241,9 @@ def build_pass_rows(
     starts_tri = ends_tri - n_bins_tri
     total = ends_tri[-1]
     k = jnp.arange(cap, dtype=jnp.int32)
-    tri_of_k = jnp.minimum(
-        jnp.searchsorted(ends_tri, k, side="right").astype(jnp.int32), t - 1
-    )
+    marks = jnp.zeros((cap,), jnp.int32).at[starts_tri].add(
+        1, mode="drop", indices_are_sorted=True)
+    tri_of_k = jnp.clip(jnp.cumsum(marks) - 1, 0, t - 1)
     slot = k - starts_tri[tri_of_k]
     ok = k < total
     nx_k = jnp.maximum(nx[tri_of_k], 1)
@@ -288,8 +297,8 @@ def _process_chunk(
     resolve_cols = chunk[:, SC_CODE:SC_CODE + SC_RESOLVE_W]
 
     def pass_body(p, _):
-        b0 = bounds_ref[p, b]
-        b1 = bounds_ref[p + 1, b]
+        b0 = bounds_ref[0, p, b]
+        b1 = bounds_ref[0, p + 1, b]
         p0 = jnp.maximum(b0, win_base)
         p1 = jnp.minimum(b1, win_base + CHUNK)
 
@@ -359,23 +368,31 @@ def _process_chunk(
 
 
 def _frame_kernel_stream(
-    bounds_ref,  # SMEM (8, B)
+    bounds_ref,  # SMEM (1, 8, B) block (per character when batched)
     dw_ref,      # SMEM (1, 8) i32 per-pass depth-write flags
-    rows_hbm,    # ANY (CAP + CHUNK, ROW_W)
-    quad_hbm,    # ANY (8, 4 * (CAP + CHUNK))
+    rows_hbm,    # ANY (CAP + CHUNK, ROW_W), leading C axis when batched
+    quad_hbm,    # ANY (8, 4 * (CAP + CHUNK)), leading C axis when batched
     pxy_ref,     # VMEM (1024, 8): [x+.5, y+.5, 1, 0...] tile-local
     out_ref,     # (1024, S_OUT) block
     z_ref, pass_ref, buf_ref, buft_ref, sem_ref, semt_ref,
     *,
-    bx: int, n_samples: int,
+    bx: int, n_samples: int, batched: bool = False,
 ):
-    bi = pl.program_id(0)
-    bj = pl.program_id(1)
+    if batched:
+        # grid (C, by, bx): one character per leading grid step
+        c = pl.program_id(0)
+        bi = pl.program_id(1)
+        bj = pl.program_id(2)
+        rows_hbm = rows_hbm.at[c]
+        quad_hbm = quad_hbm.at[c]
+    else:
+        bi = pl.program_id(0)
+        bj = pl.program_id(1)
     b = bi * bx + bj
     x0 = (bj * TILE_W).astype(jnp.float32)
     y0 = (bi * TILE_H).astype(jnp.float32)
-    t0 = bounds_ref[0, b]
-    t1 = bounds_ref[7, b]
+    t0 = bounds_ref[0, 0, b]
+    t1 = bounds_ref[0, 7, b]
 
     @pl.when(t1 <= t0)
     def _():
@@ -461,7 +478,16 @@ def render_megakernel_stream(
     n_samples: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """-> raw state (B*1024, S_OUT) pixel-major, tile-major over bins."""
+    """-> raw state (B*1024, S_OUT) pixel-major, tile-major over bins.
+
+    With batched tables (leading character axis C on every field — build
+    them with jax.vmap over pack_stream) the grid gains a leading C
+    dimension and the result is (C*B*1024, S_OUT): one kernel launch
+    rasterizes the whole crowd instead of a sequential per-character
+    lax.map (BASELINE config #5).
+    """
+    batched = tables.rows.ndim == 3
+    c_dim = tables.rows.shape[0] if batched else 1
     bx = wp // TILE_W
     by = hp // TILE_H
     b = bx * by
@@ -473,23 +499,48 @@ def render_megakernel_stream(
     dw = np.asarray(
         [[1 if c[1] else 0 for c in PASS_CFG] + [0]], np.int32)  # (1, 8)
     kernel = functools.partial(
-        _frame_kernel_stream, bx=bx, n_samples=n_samples
+        _frame_kernel_stream, bx=bx, n_samples=n_samples, batched=batched
     )
-    return pl.pallas_call(
-        kernel,
-        grid=(by, bx),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # bounds
+    if batched:
+        grid = (c_dim, by, bx)
+        in_specs = [
+            # per-character (8, B) bounds block prefetched to SMEM
+            pl.BlockSpec((1, 8, b), lambda c, i, j: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        out_specs = pl.BlockSpec(
+            (N_PX, S_OUT), lambda c, i, j: (c * b + i * bx + j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((c_dim * b * N_PX, S_OUT),
+                                         jnp.float32)
+        dims_sem = ("arbitrary", "arbitrary", "arbitrary")
+    else:
+        grid = (by, bx)
+        in_specs = [
+            pl.BlockSpec((1, 8, b), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.SMEM),   # bounds
             pl.BlockSpec(memory_space=pltpu.SMEM),   # depth-write flags
             pl.BlockSpec(memory_space=pltpu.ANY),    # rows (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),    # quad (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # pxy
-        ],
-        out_specs=pl.BlockSpec(
+        ]
+        out_specs = pl.BlockSpec(
             (N_PX, S_OUT), lambda i, j: (i * bx + j, 0),
             memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * N_PX, S_OUT), jnp.float32),
+        )
+        out_shape = jax.ShapeDtypeStruct((b * N_PX, S_OUT), jnp.float32)
+        dims_sem = ("arbitrary", "arbitrary")
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((N_PX, n_samples), jnp.float32),          # depth
             pltpu.VMEM((N_PASSES * N_PX, PS_W), jnp.float32),    # per-pass
@@ -499,11 +550,11 @@ def render_megakernel_stream(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=dims_sem,
         ),
         interpret=interpret,
-    )(tables.bounds, jnp.asarray(dw), tables.rows, tables.quad,
-      jnp.asarray(pxy))
+    )(tables.bounds if batched else tables.bounds[None],
+      jnp.asarray(dw), tables.rows, tables.quad, jnp.asarray(pxy))
 
 
 def compose_stream_state(

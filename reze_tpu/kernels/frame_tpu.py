@@ -175,9 +175,13 @@ def pack_pass_rows(
     starts_tri = ends_tri - n_bins_tri
     total = ends_tri[-1]
     k = jnp.arange(cap, dtype=jnp.int32)
-    tri_of_k = jnp.minimum(
-        jnp.searchsorted(ends_tri, k, side="right").astype(jnp.int32), t - 1
-    )
+    # run-length expansion via scatter-marks + cumsum, NOT searchsorted:
+    # monotone-query searchsorted lowers to ~log2(t) serialized gather
+    # rounds over (cap,) (measured 26.5 ms of the 32 ms 1080p pack across
+    # the 7 passes); the scatter+cumsum form is O(cap) vector work
+    marks = jnp.zeros((cap,), jnp.int32).at[starts_tri].add(
+        1, mode="drop", indices_are_sorted=True)
+    tri_of_k = jnp.clip(jnp.cumsum(marks) - 1, 0, t - 1)
     slot = k - starts_tri[tri_of_k]
     ok = k < total
     nx_k = jnp.maximum(nx[tri_of_k], 1)
@@ -193,13 +197,12 @@ def pack_pass_rows(
     pair_tri = jnp.where(pair_bin < b_total, key & ((1 << 15) - 1), 0)
 
     rows = tab[pair_tri]  # (cap, ROW_W) pair-ordered gather
-    bins_arange = jnp.arange(b_total, dtype=jnp.int32)
-    starts = jnp.minimum(
-        jnp.searchsorted(pair_bin, bins_arange).astype(jnp.int32), cap
-    )
-    ends = jnp.minimum(
-        jnp.searchsorted(pair_bin, bins_arange, side="right").astype(jnp.int32), cap
-    )
+    # per-bin starts: histogram of pair_bin + exclusive cumsum (same
+    # monotone-searchsorted avoidance as above)
+    counts_b = jnp.zeros((b_total,), jnp.int32).at[pair_bin].add(
+        1, mode="drop", indices_are_sorted=True)
+    ends = jnp.minimum(jnp.cumsum(counts_b), cap)
+    starts = jnp.minimum(ends - counts_b, cap)
     return rows, starts, ends - starts, jnp.maximum(total - cap, 0)
 
 

@@ -281,9 +281,19 @@ def _shade_kernel(
     stack_ref, knot_ref, tex_ref, edge_ref, ldir_ref, lcol_ref, misc_ref,
     inv_vp_ref, out_ref,
     *, wp: int, hp: int, kr: int, kt: int, ke: int, n_levels: int,
+    batched: bool = False,
 ):
-    x0 = (pl.program_id(1) * TILE_W).astype(jnp.float32)
-    y0 = (pl.program_id(0) * TILE_H).astype(jnp.float32)
+    if batched:
+        # grid (C, by, bx): stack/misc/inv_vp/out are per-character blocks.
+        # misc keeps its (1, 8) block shape — _shade_layer indexes misc[0, i]
+        stack_ref = stack_ref.at[0]
+        inv_vp_ref = inv_vp_ref.at[0]
+        out_ref = out_ref.at[0]
+        x0 = (pl.program_id(2) * TILE_W).astype(jnp.float32)
+        y0 = (pl.program_id(1) * TILE_H).astype(jnp.float32)
+    else:
+        x0 = (pl.program_id(1) * TILE_W).astype(jnp.float32)
+        y0 = (pl.program_id(0) * TILE_H).astype(jnp.float32)
     xs = (
         jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
         + x0 + 0.5
@@ -331,41 +341,78 @@ def shade_stack_tpu(
     With ``use_mips`` (and mip columns present in tex_tab) texel indices
     address TextureAtlas.mip_flat at a per-pixel LOD; ``lod_bias`` adds a
     per-layer bias (+1 for a half-res-fetched layer).
+
+    A 4-D ``stack`` (C, 2*L_CH, HP, WP) shades a whole crowd in one launch
+    (leading character grid axis); ``eye_pos``/``inv_vp`` then carry a
+    leading C axis too and the result is (C, 2*O_CH, HP, WP).
     """
-    _, hp, wp = stack.shape
+    batched = stack.ndim == 4
+    hp, wp = stack.shape[-2:]
     n_levels = tables.tex_tab.shape[1] - 4 if use_mips else 0
     active = (jnp.arange(4) < lights.count).astype(jnp.float32)[:, None]
     lcol = lights.color * lights.intensity[:, None] * active
-    misc = jnp.stack(
-        [lights.ambient, jnp.float32(rim_intensity),
-         eye_pos[0], eye_pos[1], eye_pos[2],
-         jnp.float32(tables.atlas_stride), jnp.float32(lod_bias[0]),
-         jnp.float32(lod_bias[1])]
-    )[None, :]
+    ep = eye_pos if batched else eye_pos[None]  # (C, 3)
+    c_dim = stack.shape[0] if batched else 1
+    misc = jnp.stack([
+        jnp.broadcast_to(lights.ambient, (c_dim,)),
+        jnp.full((c_dim,), rim_intensity, jnp.float32),
+        ep[:, 0], ep[:, 1], ep[:, 2],
+        jnp.full((c_dim,), tables.atlas_stride, jnp.float32),
+        jnp.full((c_dim,), lod_bias[0], jnp.float32),
+        jnp.full((c_dim,), lod_bias[1], jnp.float32),
+    ], axis=1)  # (C, 8)
     kernel = functools.partial(
         _shade_kernel, wp=wp, hp=hp,
         kr=tables.knot_tab.shape[0], kt=tables.tex_tab.shape[0],
-        ke=tables.edge_tab.shape[0], n_levels=n_levels,
+        ke=tables.edge_tab.shape[0], n_levels=n_levels, batched=batched,
     )
+    if batched:
+        grid = (c_dim, hp // TILE_H, wp // TILE_W)
+        stack_spec = pl.BlockSpec(
+            (1, 2 * L_CH, TILE_H, TILE_W), lambda c, i, j: (c, 0, i, j),
+            memory_space=pltpu.VMEM)
+        misc_spec = pl.BlockSpec((1, 8), lambda c, i, j: (c, 0),
+                                 memory_space=pltpu.VMEM)
+        ivp_spec = pl.BlockSpec((1, 4, 4), lambda c, i, j: (c, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs = pl.BlockSpec(
+            (1, 2 * O_CH, TILE_H, TILE_W), lambda c, i, j: (c, 0, i, j),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((c_dim, 2 * O_CH, hp, wp),
+                                         jnp.float32)
+        dims_sem = ("parallel", "parallel", "parallel")
+        ivp = inv_vp
+    else:
+        grid = (hp // TILE_H, wp // TILE_W)
+        stack_spec = pl.BlockSpec(
+            (2 * L_CH, TILE_H, TILE_W), lambda i, j: (0, i, j),
+            memory_space=pltpu.VMEM)
+        misc_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        ivp_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        out_specs = pl.BlockSpec(
+            (2 * O_CH, TILE_H, TILE_W), lambda i, j: (0, i, j),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((2 * O_CH, hp, wp), jnp.float32)
+        dims_sem = ("parallel", "parallel")
+        misc = misc[0:1]
+        ivp = inv_vp
     return pl.pallas_call(
         kernel,
-        grid=(hp // TILE_H, wp // TILE_W),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((2 * L_CH, TILE_H, TILE_W), lambda i, j: (0, i, j),
-                         memory_space=pltpu.VMEM),
+            stack_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # knot_tab
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tex_tab
             pl.BlockSpec(memory_space=pltpu.VMEM),  # edge_tab
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ldir
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lcol
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # misc
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # inv_vp
+            misc_spec,
+            ivp_spec,
         ],
-        out_specs=pl.BlockSpec((2 * O_CH, TILE_H, TILE_W), lambda i, j: (0, i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2 * O_CH, hp, wp), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=dims_sem,
         ),
         interpret=interpret,
     )(stack, tables.knot_tab, tables.tex_tab, tables.edge_tab,

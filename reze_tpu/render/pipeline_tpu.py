@@ -121,6 +121,49 @@ def _composite_shaded(o, atlas_flat, dims, cfg):
     return jnp.clip(img_cf, 0.0, 1.0).transpose(1, 2, 0)
 
 
+_PASS_SPECS = (
+    (CLASS_OPAQUE, raster.CULL_NONE, False),
+    (CLASS_EYE, raster.CULL_FRONT, False),
+    (CLASS_OPAQUE, raster.CULL_BACK, True),
+    (CLASS_HAIR, raster.CULL_FRONT, False),
+    (CLASS_HAIR, raster.CULL_BACK, True),
+    (CLASS_TRANSPARENT, raster.CULL_NONE, False),
+    (CLASS_TRANSPARENT, raster.CULL_BACK, True),
+)
+
+
+def _build_stream_tables(model, cfg, dims, tables, pos, nrm, view_proj, uvs):
+    """Per-pass triangle setup + pair enumeration -> merged StreamTables.
+
+    Pure XLA (sorts/gathers only), so crowds can jax.vmap it over a leading
+    character axis and feed the batched megakernel in one launch.
+    """
+    from ..kernels import frame_stream as FS
+
+    tabs, bins = [], []
+    for cls, cull, outline in _PASS_SPECS:
+        data = _gather_pass(model, pos, nrm, view_proj, cls, outline,
+                            cfg.outline_scale, uvs)
+        t = data.valid.shape[0]
+        assert t < (1 << 15), f"pass has {t} triangles (>= 2^15)"
+        tri = raster.setup_triangles(
+            data.corners_clip, data.valid, dims.wp, dims.hp, cull
+        )
+        cols = tables.push_tab[jnp.maximum(data.tri_mat, 0)]
+        alpha = cols[:, 1] if outline else cols[:, 0]
+        cap = -(-int(t * cfg.pair_cap_scale + 1024) // FS.CHUNK) * FS.CHUNK
+        tab, binfo = FS.build_pass_rows(
+            tri, data.corner_uv, data.corner_nrm, alpha, cols[:, 2],
+            cols[:, 4], cols[:, 5], cols[:, 6],
+            dims.hp // FS.TILE_H, dims.wp // FS.TILE_W, cap,
+            with_attrs=not outline,
+        )
+        tabs.append(tab)
+        bins.append(binfo)
+    return FS.pack_stream(tabs, bins, dims.hp // FS.TILE_H,
+                          dims.wp // FS.TILE_W)
+
+
 def render_frame_mega(
     model: ModelArrays,
     cfg: EngineConfig,
@@ -152,42 +195,14 @@ def render_frame_mega(
         tab = tab.at[:, 1].set(jnp.clip(tab[:, 1] * e_scale + e_add, 0.0, 1.0))
         tables = tables._replace(push_tab=tab)
 
-    pass_specs = [
-        (CLASS_OPAQUE, raster.CULL_NONE, False),
-        (CLASS_EYE, raster.CULL_FRONT, False),
-        (CLASS_OPAQUE, raster.CULL_BACK, True),
-        (CLASS_HAIR, raster.CULL_FRONT, False),
-        (CLASS_HAIR, raster.CULL_BACK, True),
-        (CLASS_TRANSPARENT, raster.CULL_NONE, False),
-        (CLASS_TRANSPARENT, raster.CULL_BACK, True),
-    ]
+    pass_specs = _PASS_SPECS
     if cfg.rasterizer == "stream":
         # merged-stream megakernel (kernels/frame_stream.py): ONE pair walk
         # per tile covering all 7 passes
         from ..kernels import frame_stream as FS
 
-        tabs, bins = [], []
-        for cls, cull, outline in pass_specs:
-            data = _gather_pass(model, pos, nrm, view_proj, cls, outline,
-                                cfg.outline_scale, uvs)
-            t = data.valid.shape[0]
-            assert t < (1 << 15), f"pass has {t} triangles (>= 2^15)"
-            tri = raster.setup_triangles(
-                data.corners_clip, data.valid, dims.wp, dims.hp, cull
-            )
-            cols = tables.push_tab[jnp.maximum(data.tri_mat, 0)]
-            alpha = cols[:, 1] if outline else cols[:, 0]
-            cap = -(-int(t * cfg.pair_cap_scale + 1024) // FS.CHUNK) * FS.CHUNK
-            tab, binfo = FS.build_pass_rows(
-                tri, data.corner_uv, data.corner_nrm, alpha, cols[:, 2],
-                cols[:, 4], cols[:, 5], cols[:, 6],
-                dims.hp // FS.TILE_H, dims.wp // FS.TILE_W, cap,
-                with_attrs=not outline,
-            )
-            tabs.append(tab)
-            bins.append(binfo)
-        st = FS.pack_stream(tabs, bins, dims.hp // FS.TILE_H,
-                            dims.wp // FS.TILE_W)
+        st = _build_stream_tables(model, cfg, dims, tables, pos, nrm,
+                                  view_proj, uvs)
         raw = FS.render_megakernel_stream(
             st, hp=dims.hp, wp=dims.wp, n_samples=cfg.msaa_samples,
             interpret=interpret,
@@ -274,6 +289,75 @@ def render_frame_mega(
     flat = model.atlas.mip_flat if use_mips else packed.atlas_flat
     img = _composite_shaded(o, flat, dims, cfg)
     return (img, ft.overflow) if with_diag else img
+
+
+def render_crowd_mega(
+    model: ModelArrays,
+    cfg: EngineConfig,
+    dims: FastDims,
+    packed: SF.PackedMaterials,
+    pos: jax.Array,        # (C, V, 3)
+    nrm: jax.Array,        # (C, V, 3)
+    view_proj: jax.Array,  # (C, 4, 4)
+    eye_pos: jax.Array,    # (C, 3)
+    lights: Lights,
+    interpret: bool = False,
+    uvs: jax.Array | None = None,       # (C, V, 2) or None
+    mat_mod: tuple | None = None,       # per-char factors or None
+    shade_tables: "ST.ShadeTables | None" = None,
+    with_diag: bool = False,
+) -> jax.Array:
+    """Crowd frame: C characters rendered by ONE batched stream megakernel.
+
+    The table build (pure XLA) is vmapped over the character axis, the
+    merged-stream rasterizer takes character as a leading grid dimension
+    (kernels/frame_stream.py), the 2-layer compose is vmapped XLA, and the
+    shade kernel runs batched (kernels/shade_tpu.py). Replaces the per-chip
+    sequential lax.map of whole frames (BASELINE config #5; the reference
+    renders one character per page, engine.ts:2123-2243).
+    -> (C, H, W, 3), plus summed pair overflow with ``with_diag``.
+    """
+    from ..kernels import frame_stream as FS
+
+    tables = (shade_tables if shade_tables is not None
+              else ST.pack_shade_tables(model.materials, model.atlas))
+    c_dim = pos.shape[0]
+
+    def build(pos1, nrm1, vp1, uvs1, mm1):
+        tab = tables
+        if mm1 is not None:
+            a_scale, a_add, e_scale, e_add = mm1
+            pt = tab.push_tab
+            pt = pt.at[:, 0].set(jnp.clip(pt[:, 0] * a_scale + a_add, 0.0, 1.0))
+            pt = pt.at[:, 1].set(jnp.clip(pt[:, 1] * e_scale + e_add, 0.0, 1.0))
+            tab = tab._replace(push_tab=pt)
+        return _build_stream_tables(model, cfg, dims, tab, pos1, nrm1, vp1,
+                                    uvs1)
+
+    st = jax.vmap(build, in_axes=(
+        0, 0, 0,
+        0 if uvs is not None else None,
+        0 if mat_mod is not None else None,
+    ))(pos, nrm, view_proj, uvs, mat_mod)
+    raw = FS.render_megakernel_stream(
+        st, hp=dims.hp, wp=dims.wp, n_samples=cfg.msaa_samples,
+        interpret=interpret,
+    )  # (C * B * 1024, S_OUT)
+    raw = raw.reshape(c_dim, dims.p, FS.S_OUT)
+    stack = jax.vmap(
+        lambda r: FS.compose_stream_state(r, dims.hp, dims.wp,
+                                          cfg.msaa_samples)
+    )(raw)  # (C, 2*L_CH, hp, wp)
+    use_mips, lod_bias = _mip_args(cfg, model)
+    inv_vp = jax.vmap(m3.mat4_inverse)(view_proj)
+    shaded = ST.shade_stack_tpu(
+        stack, tables, lights, None, cfg.rim_light_intensity, eye_pos,
+        inv_vp, interpret=interpret, use_mips=use_mips, lod_bias=lod_bias,
+    )  # (C, 2*O_CH, hp, wp)
+    o = shaded.reshape(c_dim, 2 * ST.O_CH, dims.p)
+    flat = model.atlas.mip_flat if use_mips else packed.atlas_flat
+    img = jax.vmap(lambda o1: _composite_shaded(o1, flat, dims, cfg))(o)
+    return (img, st.overflow) if with_diag else img  # overflow: (C,)
 
 
 class FastDims(NamedTuple):

@@ -58,8 +58,14 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None,
         if cfg.enable_physics and model.physics.n_bodies > 0 else None
     )
 
-    def step_impl(model, state: SceneState, dt, view_proj, eye_pos, lights,
-                  track, breath):
+    def simulate(model, state: SceneState, dt, track, breath):
+        """Animation + FK/IK + physics + skinning (no rendering).
+
+        -> (t, rot, trans, mw, tween_state, phys_state, contact_overflow,
+            pos, nrm, uvs, mat_mod) — everything render needs plus the
+        state fields to write back. Pure XLA, so crowds can jax.vmap it
+        while the raster runs as ONE batched megakernel (distrib.py).
+        """
         t = state.time + dt
         clip_t = t - state.play_t0
 
@@ -133,6 +139,13 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None,
             model.geometry, model.skinning, palette,
             morphs=model.morphs, morph_weights=mw, world_quat_palette=wq,
         )
+        return (t, rot, trans, mw, tween_state, phys_state,
+                contact_overflow, pos, nrm, uvs, mat_mod)
+
+    def step_impl(model, state: SceneState, dt, view_proj, eye_pos, lights,
+                  track, breath):
+        (t, rot, trans, mw, tween_state, phys_state, contact_overflow,
+         pos, nrm, uvs, mat_mod) = simulate(model, state, dt, track, breath)
 
         # 6. rasterize + shade + bloom
         pair_overflow = jnp.int32(0)
@@ -179,4 +192,5 @@ def make_step(model: ModelArrays, cfg: EngineConfig, dims=None,
         return step_impl(model, state, dt, view_proj, eye_pos, lights, track,
                          breath)
 
+    step.simulate = simulate  # crowds: vmap(sim) + one batched raster
     return step

@@ -141,32 +141,33 @@ def stage_fn(level):
     return f
 
 
-N1, N2 = 2, 10
-names = ["pose+skin", "+pack(XLA)", "+megakernel", "+albedo/bloom"]
-prev = 0.0
-for level in range(4):
-    f = stage_fn(level)
-
-    def run(seed, model, packed, n):
-        def body(carry, _):
-            out = f(model, packed, carry)
-            return carry + out * 1e-20 + 1e-3, None
-        out, _ = jax.lax.scan(body, seed, None, length=n)
-        return out
-
-    times = {}
-    for n in (N1, N2):
-        g = jax.jit(lambda s, mo, pk, n=n: run(s, mo, pk, n))
-        t0 = time.time()
-        float(g(jnp.float32(0.5), m, packed))
-        compile_s = time.time() - t0
-        best = 1e9
-        for rep in range(3):
+if __name__ == "__main__":
+    N1, N2 = 2, 10
+    names = ["pose+skin", "+pack(XLA)", "+megakernel", "+albedo/bloom"]
+    prev = 0.0
+    for level in range(4):
+        f = stage_fn(level)
+    
+        def run(seed, model, packed, n):
+            def body(carry, _):
+                out = f(model, packed, carry)
+                return carry + out * 1e-20 + 1e-3, None
+            out, _ = jax.lax.scan(body, seed, None, length=n)
+            return out
+    
+        times = {}
+        for n in (N1, N2):
+            g = jax.jit(lambda s, mo, pk, n=n: run(s, mo, pk, n))
             t0 = time.time()
-            float(g(jnp.float32(rep * 1e-5), m, packed))
-            best = min(best, time.time() - t0)
-        times[n] = best
-    ms = (times[N2] - times[N1]) / (N2 - N1) * 1000
-    print(f"{names[level]:16s} cum {ms:8.2f} ms  (+{ms - prev:7.2f} ms)  "
-          f"[compile {compile_s:.0f}s]", flush=True)
-    prev = ms
+            float(g(jnp.float32(0.5), m, packed))
+            compile_s = time.time() - t0
+            best = 1e9
+            for rep in range(3):
+                t0 = time.time()
+                float(g(jnp.float32(rep * 1e-5), m, packed))
+                best = min(best, time.time() - t0)
+            times[n] = best
+        ms = (times[N2] - times[N1]) / (N2 - N1) * 1000
+        print(f"{names[level]:16s} cum {ms:8.2f} ms  (+{ms - prev:7.2f} ms)  "
+              f"[compile {compile_s:.0f}s]", flush=True)
+        prev = ms

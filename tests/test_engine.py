@@ -138,3 +138,66 @@ def test_batched_step_matches_single(tiny):
         np.testing.assert_allclose(
             np.asarray(frames[i]), np.asarray(single_frame), atol=1e-5
         )
+
+
+def test_crowd_megakernel_matches_single(tiny):
+    """Batched stream megakernel crowd (character grid axis in ONE Pallas
+    launch, distrib.py crowd_step) vs per-character single steps."""
+    import dataclasses
+
+    from reze_tpu import distrib
+
+    cfg = dataclasses.replace(
+        tiny["cfg"], renderer="tpu", rasterizer="stream",
+        use_megakernel=True, layered_shading=True,
+    )
+    model = tiny["model"]
+    b = 2
+    mesh = distrib.make_mesh(1)
+    states = distrib.batch_state(model, b)
+    vp = jnp.broadcast_to(tiny["cam"].view_proj(), (b, 4, 4))
+    eye = jnp.broadcast_to(tiny["cam"].position(), (b, 3))
+    bstep = distrib.make_batched_step(model, cfg, None, mesh)
+    states2, frames = bstep(
+        states, jnp.float32(1 / 60), vp, eye, tiny["lights"], tiny["track"],
+        tiny["breath"],
+    )
+    assert frames.shape == (b, 64, 64, 3)
+    step1 = jax.jit(make_step(model, cfg))
+    _, f1 = step1(
+        init_scene_state(model), jnp.float32(1 / 60), tiny["cam"].view_proj(),
+        tiny["cam"].position(), tiny["lights"], tiny["track"], tiny["breath"],
+    )
+    for i in range(b):
+        np.testing.assert_allclose(np.asarray(frames[i]), np.asarray(f1),
+                                   atol=1e-5)
+
+
+def test_crowd_megakernel_multichip(tiny):
+    """Crowd stream path through shard_map on the 8-device virtual mesh."""
+    import dataclasses
+
+    from reze_tpu import distrib
+
+    cfg = dataclasses.replace(
+        tiny["cfg"], renderer="tpu", rasterizer="stream",
+        use_megakernel=True, layered_shading=True,
+    )
+    model = tiny["model"]
+    mesh = distrib.make_mesh()  # 8 virtual devices
+    b = 8
+    states = distrib.shard_batch(distrib.batch_state(model, b), mesh)
+    vp = distrib.shard_batch(
+        jnp.broadcast_to(tiny["cam"].view_proj(), (b, 4, 4)), mesh)
+    eye = distrib.shard_batch(
+        jnp.broadcast_to(tiny["cam"].position(), (b, 3)), mesh)
+    bstep = distrib.make_batched_step(model, cfg, None, mesh)
+    states2, frames = bstep(
+        states, jnp.float32(1 / 60), vp, eye, tiny["lights"], tiny["track"],
+        tiny["breath"],
+    )
+    assert frames.shape == (b, 64, 64, 3)
+    f = np.asarray(frames)
+    assert np.isfinite(f).all()
+    for i in range(1, b):
+        np.testing.assert_allclose(f[i], f[0], atol=1e-5)
