@@ -49,6 +49,7 @@ def main():
         rim_light_intensity=0.35, camera_distance=13.5,
         camera_target=(0.0, 17.1, 0.0),
         max_tris_per_bin=int(os.environ.get("BENCH_BIN_CAP", 1024)),
+        rasterizer=os.environ.get("BENCH_RASTERIZER", "group"),
     )
     built = load_model("/root/reference/web/public/models/塞尔凯特2/塞尔凯特2.pmx", cfg)
     model = built.arrays

@@ -244,11 +244,16 @@ def build_pass_rows(
     marks = jnp.zeros((cap,), jnp.int32).at[starts_tri].add(
         1, mode="drop", indices_are_sorted=True)
     tri_of_k = jnp.clip(jnp.cumsum(marks) - 1, 0, t - 1)
-    slot = k - starts_tri[tri_of_k]
+    # ONE (cap, 4) row gather instead of 4 scalar gathers: gather cost is
+    # per-index, not per-element (4 separate gathers measured 7.25 ms of
+    # the 1080p pack across passes; one packed gather ~1.8 ms)
+    enum_tab = jnp.stack([starts_tri, nx, by0, bx0], axis=1)  # (t, 4) i32
+    vals = enum_tab[tri_of_k]
+    slot = k - vals[:, 0]
     ok = k < total
-    nx_k = jnp.maximum(nx[tri_of_k], 1)
-    bin_y = by0[tri_of_k] + slot // nx_k
-    bin_id = bin_y * bx + (bx0[tri_of_k] + slot % nx_k)
+    nx_k = jnp.maximum(vals[:, 1], 1)
+    bin_y = vals[:, 2] + slot // nx_k
+    bin_id = bin_y * bx + (vals[:, 3] + slot % nx_k)
     return tab, (bin_id, ok, tri_of_k, total)
 
 

@@ -182,11 +182,15 @@ def pack_pass_rows(
     marks = jnp.zeros((cap,), jnp.int32).at[starts_tri].add(
         1, mode="drop", indices_are_sorted=True)
     tri_of_k = jnp.clip(jnp.cumsum(marks) - 1, 0, t - 1)
-    slot = k - starts_tri[tri_of_k]
+    # ONE (cap, 4) row gather instead of 4 scalar gathers (gather cost is
+    # per-index, not per-element — see frame_stream.build_pass_rows)
+    enum_tab = jnp.stack([starts_tri, nx, by0, bx0], axis=1)  # (t, 4) i32
+    vals = enum_tab[tri_of_k]
+    slot = k - vals[:, 0]
     ok = k < total
-    nx_k = jnp.maximum(nx[tri_of_k], 1)
-    bin_y = by0[tri_of_k] + slot // nx_k
-    bin_id = bin_y * bx + (bx0[tri_of_k] + slot % nx_k)
+    nx_k = jnp.maximum(vals[:, 1], 1)
+    bin_y = vals[:, 2] + slot // nx_k
+    bin_id = bin_y * bx + (vals[:, 3] + slot % nx_k)
 
     # 8-row tiles: a group's triangles share the tile band by construction,
     # and draw order within a bin is exact (id is the low sort key)

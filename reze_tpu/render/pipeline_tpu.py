@@ -95,6 +95,67 @@ def _mip_args(cfg: EngineConfig, model: ModelArrays) -> tuple[bool, tuple]:
                   1.0 if cfg.albedo_half_visible else 0.0)
 
 
+def _albedo_u32(atlas32, o, base, dims, *, half_res: bool) -> jax.Array:
+    """Texel index channels -> (hp, wp) i32 packed texels (one u32 gather
+    per pixel; byte unpack happens in the composite kernel).
+
+    Mirrors _fetch_albedo's nearest path: idx = tex + (fx>.5)dx + (fy>.5)dy;
+    half_res gathers every other pixel and replicates 2x2.
+    """
+    tex = o[base + ST.O_TEX]
+    dxdy = o[base + ST.O_DXDY]
+    fx = o[base + ST.O_FX]
+    fy = o[base + ST.O_FY]
+    dx = jnp.mod(dxdy, 2.0)
+    dy = dxdy - dx
+    near = tex + jnp.where(fx > 0.5, dx, 0.0) + jnp.where(fy > 0.5, dy, 0.0)
+    idx = jnp.maximum(near, 0.0).astype(jnp.int32)
+    if half_res:
+        h2, w2 = dims.hp // 2, dims.wp // 2
+        i2 = idx.reshape(h2, 2, dims.wp)[:, 0, :]
+        i4 = i2[:, ::2]
+        tx = atlas32[i4]  # (h2, w2) i32
+        tx = jnp.broadcast_to(tx[:, :, None], (h2, w2, 2)).reshape(h2, dims.wp)
+        tx = jnp.broadcast_to(tx[:, None, :], (h2, 2, dims.wp))
+        return tx.reshape(dims.hp, dims.wp)
+    return atlas32[idx].reshape(dims.hp, dims.wp)
+
+
+def _composite_shaded_kernel(o, atlas_flat, dims, cfg, interpret=False):
+    """Pallas epilogue route (kernels/composite_tpu.py): u32 albedo gathers
+    + in-VMEM composite/bloom-extract; blur + upsample + add in XLA.
+    Nearest-mode only (bilinear keeps _composite_shaded)."""
+    from ..kernels import composite_tpu as CT
+
+    atlas32 = jax.lax.bitcast_convert_type(atlas_flat, jnp.int32)
+    op = o.reshape(2 * ST.O_CH, dims.hp, dims.wp)
+    a0 = _albedo_u32(atlas32, o, 0, dims, half_res=cfg.albedo_half_occluded)
+    a1 = _albedo_u32(atlas32, o, ST.O_CH, dims,
+                     half_res=cfg.albedo_half_visible)
+    img_cf, half = CT.composite_tpu(
+        op, a0, a1, with_bloom=cfg.enable_bloom, interpret=interpret,
+    )
+    img_cf = img_cf[:, : dims.height, : dims.width]
+    if cfg.enable_bloom:
+        # finish the 2x2 box (kernel did the vertical half), then the
+        # reference extract -> blur -> upsample -> add chain
+        vm = half[:, : dims.height // 2, : dims.width]
+        hm = vm.reshape(3, dims.height // 2, dims.width // 2, 2).mean(-1)
+        bloom = post.extract(hm, cfg.bloom_threshold)
+        bloom = post._blur_axis(post._blur_axis(bloom, 2), 1)
+        up = post._up2_axis_cf(post._up2_axis_cf(bloom, 1), 2)
+        img_cf = img_cf + up * cfg.bloom_intensity
+    return jnp.clip(img_cf, 0.0, 1.0).transpose(1, 2, 0)
+
+
+def _finish_frame(o, atlas_flat, dims, cfg, interpret=False):
+    """Composite route: Pallas epilogue for nearest-mode albedo (the
+    measured-fast path), XLA composite for the bilinear parity config."""
+    if not cfg.albedo_bilinear:
+        return _composite_shaded_kernel(o, atlas_flat, dims, cfg, interpret)
+    return _composite_shaded(o, atlas_flat, dims, cfg)
+
+
 def _composite_shaded(o, atlas_flat, dims, cfg):
     """Shade-kernel outputs (2*O_CH, P) -> (H, W, 3) with albedo + bloom."""
     cr = cg = cb = jnp.zeros((dims.p,))
@@ -217,7 +278,7 @@ def render_frame_mega(
         )
         o = shaded.reshape(2 * ST.O_CH, dims.p)
         flat = model.atlas.mip_flat if use_mips else packed.atlas_flat
-        img = _composite_shaded(o, flat, dims, cfg)
+        img = _finish_frame(o, flat, dims, cfg, interpret)
         return (img, st.overflow) if with_diag else img
     rows_l, starts_l, counts_l = [], [], []
     overflow = jnp.int32(0)
@@ -287,7 +348,7 @@ def render_frame_mega(
         )
     o = shaded.reshape(2 * ST.O_CH, dims.p)
     flat = model.atlas.mip_flat if use_mips else packed.atlas_flat
-    img = _composite_shaded(o, flat, dims, cfg)
+    img = _finish_frame(o, flat, dims, cfg, interpret)
     return (img, ft.overflow) if with_diag else img
 
 
@@ -538,7 +599,7 @@ def render_frame_fast(
         )
         o = shaded.reshape(2 * ST.O_CH, dims.p)
         flat = model.atlas.mip_flat if use_mips else packed.atlas_flat
-        img = _composite_shaded(o, flat, dims, cfg)
+        img = _finish_frame(o, flat, dims, cfg, interpret)
         return (img, overflow) if with_diag else img
     else:
         # 1. opaque

@@ -83,8 +83,9 @@ def pack_level(tri, alpha_cols, outline, cap, level):
     starts_tri = ends_tri - n_bins_tri
     total = ends_tri[-1]
     k = jnp.arange(cap, dtype=jnp.int32)
-    tri_of_k = jnp.minimum(
-        jnp.searchsorted(ends_tri, k, side="right").astype(jnp.int32), t - 1)
+    marks = jnp.zeros((cap,), jnp.int32).at[starts_tri].add(
+        1, mode="drop", indices_are_sorted=True)
+    tri_of_k = jnp.clip(jnp.cumsum(marks) - 1, 0, t - 1)
     slot = k - starts_tri[tri_of_k]
     ok = k < total
     nx_k = jnp.maximum(nx[tri_of_k], 1)
@@ -100,8 +101,9 @@ def pack_level(tri, alpha_cols, outline, cap, level):
     pair_bin = key >> 15
     pair_tri = jnp.where(pair_bin < b_total, key & ((1 << 15) - 1), 0)
     rows = tab[pair_tri]
-    bins_arange = jnp.arange(b_total, dtype=jnp.int32)
-    starts = jnp.minimum(jnp.searchsorted(pair_bin, bins_arange).astype(jnp.int32), cap)
+    counts_b = jnp.zeros((b_total,), jnp.int32).at[pair_bin].add(
+        1, mode="drop", indices_are_sorted=True)
+    starts = jnp.minimum(jnp.cumsum(counts_b) - counts_b, cap)
     return rows.sum() + starts.sum()
 
 
