@@ -70,10 +70,11 @@ def make_batched_step(
     )
 
     if use_fast and cfg.use_megakernel and cfg.layered_shading and (
-            cfg.rasterizer == "stream"):
+            cfg.rasterizer in ("group", "stream")):
         # Batched megakernel crowd: vmap the pure-XLA simulation over the
         # character axis and rasterize ALL local characters in ONE Pallas
-        # launch (character = leading grid axis, kernels/frame_stream.py);
+        # launch (character = leading grid axis; kernels/frame_tpu.py for
+        # the grouped kernel, kernels/frame_stream.py for "stream");
         # multi-chip crowds shard the batch with shard_map so each chip
         # batches its local slice.
         from jax.experimental.shard_map import shard_map

@@ -50,7 +50,14 @@ def _unpack_rgb(u):
 
 
 def _composite_kernel(o_ref, a0_ref, a1_ref, out_ref, half_ref, *,
-                      with_bloom: bool):
+                      with_bloom: bool, batched: bool = False):
+    if batched:
+        # grid (C, by, bx): all refs are per-character blocks
+        o_ref = o_ref.at[0]
+        a0_ref = a0_ref.at[0]
+        a1_ref = a1_ref.at[0]
+        out_ref = out_ref.at[0]
+        half_ref = half_ref.at[0]
     cr = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     cg = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     cb = jnp.zeros((TILE_H, TILE_W), jnp.float32)
@@ -87,34 +94,71 @@ def composite_tpu(
     with_bloom: bool,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array | None]:
-    """-> (composite (3, hp, wp), bloom vertical mean (3, hp//2, wp) | None)."""
-    _, hp, wp = o.shape
-    kernel = functools.partial(_composite_kernel, with_bloom=with_bloom)
-    out_shape = [
-        jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
-        jax.ShapeDtypeStruct((3, hp // 2, wp), jnp.float32),
-    ]
-    out, half = pl.pallas_call(
-        kernel,
-        grid=(hp // TILE_H, wp // TILE_W),
-        in_specs=[
+    """-> (composite (3, hp, wp), bloom vertical mean (3, hp//2, wp) | None).
+
+    A 4-D ``o`` (C, 2*O_CH, hp, wp) with (C, hp, wp) albedo planes runs the
+    whole crowd in one launch; outputs gain a leading C axis.
+    """
+    batched = o.ndim == 4
+    hp, wp = o.shape[-2:]
+    c_dim = o.shape[0] if batched else 1
+    kernel = functools.partial(_composite_kernel, with_bloom=with_bloom,
+                               batched=batched)
+    if batched:
+        grid = (c_dim, hp // TILE_H, wp // TILE_W)
+        in_specs = [
+            pl.BlockSpec((1, 2 * ST.O_CH, TILE_H, TILE_W),
+                         lambda c, i, j: (c, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_H, TILE_W), lambda c, i, j: (c, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_H, TILE_W), lambda c, i, j: (c, 0, i, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = [
+            pl.BlockSpec((1, 3, TILE_H, TILE_W), lambda c, i, j: (c, 0, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TILE_H // 2, TILE_W),
+                         lambda c, i, j: (c, 0, i, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((c_dim, 3, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((c_dim, 3, hp // 2, wp), jnp.float32),
+        ]
+        dims_sem = ("parallel", "parallel", "parallel")
+        args = (o, a0[:, None], a1[:, None])
+    else:
+        grid = (hp // TILE_H, wp // TILE_W)
+        in_specs = [
             pl.BlockSpec((2 * ST.O_CH, TILE_H, TILE_W),
                          lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_H, TILE_W), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_H, TILE_W), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
+        ]
+        out_specs = [
             pl.BlockSpec((3, TILE_H, TILE_W), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TILE_H // 2, TILE_W),
                          lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-        ],
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((3, hp // 2, wp), jnp.float32),
+        ]
+        dims_sem = ("parallel", "parallel")
+        args = (o, a0[None], a1[None])
+    out, half = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=dims_sem,
         ),
         interpret=interpret,
-    )(o, a0[None], a1[None])
+    )(*args)
     return out, (half if with_bloom else None)

@@ -373,18 +373,30 @@ def _push_pass(
 
 
 def _frame_kernel(
-    starts_ref, counts_ref,  # SMEM (N_PASSES, B)
-    rows_hbm,  # ANY (CAP + CHUNK, ROW_W)
+    starts_ref, counts_ref,  # SMEM (1, N_PASSES, B) block (per char batched)
+    rows_hbm,  # ANY (CAP + CHUNK, ROW_W); leading C axis when batched
     knot_ref, tex_ref, edge_ref, ldir_ref, lcol_ref, misc_ref, inv_vp_ref,
     out_ref,  # (2*O_CH, 32, 128) block
     zbuf_ref, gbuf_ref, stack_ref, stencil_ref, won_ref,  # scratch
     buf_ref, sem_ref,  # DMA scratch: (2, CHUNK, ROW_W) + 2 sems
+    pf_ref,  # SMEM (1,) i32: next pass's first chunk already in flight
     *,
     bx: int, wp: int, hp: int, n_samples: int, kr: int, kt: int, ke: int,
-    n_levels: int,
+    n_levels: int, batched: bool = False,
 ):
-    bi = pl.program_id(0)
-    bj = pl.program_id(1)
+    if batched:
+        # grid (C, by, bx): one character per leading grid step; misc and
+        # inv_vp arrive as per-character blocks
+        c = pl.program_id(0)
+        bi = pl.program_id(1)
+        bj = pl.program_id(2)
+        rows_hbm = rows_hbm.at[c]
+        misc_ref = misc_ref.at[0]  # (1, 1, 8) block -> (1, 8)
+        inv_vp_ref = inv_vp_ref.at[0]
+        out_ref = out_ref.at[0]
+    else:
+        bi = pl.program_id(0)
+        bj = pl.program_id(1)
     b = bi * bx + bj
     x0f = (bj * TILE_W).astype(jnp.float32)
     y0f = (bi * TILE_H).astype(jnp.float32)
@@ -392,6 +404,7 @@ def _frame_kernel(
     zbuf_ref[...] = jnp.ones_like(zbuf_ref)
     stack_ref[...] = jnp.zeros_like(stack_ref)
     stencil_ref[...] = jnp.zeros_like(stencil_ref)
+    pf_ref[0] = 0
 
     # plane constants are pre-baked per bin: evaluate in tile-local coords
     xs8 = (
@@ -401,8 +414,8 @@ def _frame_kernel(
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0).astype(jnp.float32)
 
     for p, (outline, depth_write, write_stencil, use_stencil) in enumerate(PASS_CFG):
-        start = starts_ref[p, b]
-        count = counts_ref[p, b]
+        start = starts_ref[0, p, b]
+        count = counts_ref[0, p, b]
 
         @pl.when(count > 0)
         def _():
@@ -417,7 +430,12 @@ def _frame_kernel(
                     sem_ref.at[slot],
                 )
 
-            dma(0, 0).start()
+            # chunk 0 may already be in flight (cross-pass prefetch below)
+            @pl.when(pf_ref[0] == 0)
+            def _():
+                dma(0, 0).start()
+
+            pf_ref[0] = 0
 
             def chunk_body(ci, _):
                 slot = jax.lax.rem(ci, 2)
@@ -456,6 +474,24 @@ def _frame_kernel(
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+            # cross-pass prefetch: start the NEXT pass's first chunk now so
+            # its first-chunk DMA latency hides behind this pass's push
+            # (the common segment is a single ~5-pair chunk with no
+            # intra-segment overlap at all). All of this pass's DMAs have
+            # been waited, so slot 0 is free; the flag tells the next pass
+            # to skip its own chunk-0 start.
+            if p + 1 < N_PASSES:
+                nstart = starts_ref[0, p + 1, b]
+                ncount = counts_ref[0, p + 1, b]
+
+                @pl.when(ncount > 0)
+                def _():
+                    pltpu.make_async_copy(
+                        rows_hbm.at[pl.ds(nstart, CHUNK), :],
+                        buf_ref.at[0], sem_ref.at[0],
+                    ).start()
+                    pf_ref[0] = 1
+
             _push_pass(
                 stack_ref, stencil_ref, gbuf_ref, won_ref,
                 outline=outline, write_stencil=write_stencil,
@@ -509,43 +545,85 @@ def render_megakernel(
     use_mips: bool = False,
     lod_bias: tuple[float, float] = (0.0, 0.0),
 ) -> jax.Array:
-    """-> (2*O_CH, HP, WP) shade outputs (see shade_tpu channel layout)."""
+    """-> (2*O_CH, HP, WP) shade outputs (see shade_tpu channel layout).
+
+    Batched tables (leading character axis C on rows/starts/counts, built
+    with jax.vmap over pack_pass_rows) add a leading C grid dimension:
+    eye_pos/inv_vp then carry a C axis too and the result is
+    (C, 2*O_CH, HP, WP) — the whole crowd rasterizes AND shades in one
+    launch (BASELINE config #5).
+    """
+    batched = tables.rows.ndim == 3
+    c_dim = tables.rows.shape[0] if batched else 1
     bx = wp // TILE_W
     by = hp // TILE_H
+    n_p = tables.starts.shape[-2]
+    b_tot = tables.starts.shape[-1]
     active = (jnp.arange(4) < lights.count).astype(jnp.float32)[:, None]
     lcol = lights.color * lights.intensity[:, None] * active
-    misc = jnp.stack(
-        [lights.ambient, jnp.float32(rim_intensity),
-         eye_pos[0], eye_pos[1], eye_pos[2],
-         jnp.float32(shade_tables.atlas_stride),
-         jnp.float32(lod_bias[0]), jnp.float32(lod_bias[1])]
-    )[None, :]
+    ep = eye_pos if batched else eye_pos[None]  # (C, 3)
+    misc = jnp.stack([
+        jnp.broadcast_to(lights.ambient, (c_dim,)),
+        jnp.full((c_dim,), rim_intensity, jnp.float32),
+        ep[:, 0], ep[:, 1], ep[:, 2],
+        jnp.full((c_dim,), shade_tables.atlas_stride, jnp.float32),
+        jnp.full((c_dim,), lod_bias[0], jnp.float32),
+        jnp.full((c_dim,), lod_bias[1], jnp.float32),
+    ], axis=1)  # (C, 8)
     kernel = functools.partial(
         _frame_kernel, bx=bx, wp=wp, hp=hp, n_samples=n_samples,
         kr=shade_tables.knot_tab.shape[0], kt=shade_tables.tex_tab.shape[0],
         ke=shade_tables.edge_tab.shape[0],
         n_levels=shade_tables.tex_tab.shape[1] - 4 if use_mips else 0,
+        batched=batched,
     )
+    if batched:
+        grid = (c_dim, by, bx)
+        sc_spec = pl.BlockSpec((1, n_p, b_tot), lambda c, i, j: (c, 0, 0),
+                               memory_space=pltpu.SMEM)
+        # (C, 1, 8) with (1, 1, 8) blocks: the block's last two dims equal
+        # the array's, which Mosaic accepts for sub-(8,128) shapes
+        misc = misc[:, None, :]
+        misc_spec = pl.BlockSpec((1, 1, 8), lambda c, i, j: (c, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        ivp_spec = pl.BlockSpec((1, 4, 4), lambda c, i, j: (c, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs = pl.BlockSpec(
+            (1, 2 * ST.O_CH, TILE_H, TILE_W), lambda c, i, j: (c, 0, i, j),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(
+            (c_dim, 2 * ST.O_CH, hp, wp), jnp.float32)
+        dims_sem = ("arbitrary", "arbitrary", "arbitrary")
+        starts, counts, ivp = tables.starts, tables.counts, inv_vp
+    else:
+        grid = (by, bx)
+        sc_spec = pl.BlockSpec((1, n_p, b_tot), lambda i, j: (0, 0, 0),
+                               memory_space=pltpu.SMEM)
+        misc_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        ivp_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        out_specs = pl.BlockSpec(
+            (2 * ST.O_CH, TILE_H, TILE_W), lambda i, j: (0, i, j),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((2 * ST.O_CH, hp, wp), jnp.float32)
+        dims_sem = ("arbitrary", "arbitrary")
+        starts, counts, ivp = tables.starts[None], tables.counts[None], inv_vp
     return pl.pallas_call(
         kernel,
-        grid=(by, bx),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # starts
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
+            sc_spec,  # starts
+            sc_spec,  # counts
             pl.BlockSpec(memory_space=pltpu.ANY),  # rows (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # knot_tab
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tex_tab
             pl.BlockSpec(memory_space=pltpu.VMEM),  # edge_tab
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ldir
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lcol
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # misc
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # inv_vp
+            misc_spec,  # misc
+            ivp_spec,  # inv_vp
         ],
-        out_specs=pl.BlockSpec(
-            (2 * ST.O_CH, TILE_H, TILE_W), lambda i, j: (0, i, j),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((2 * ST.O_CH, hp, wp), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((n_samples, TILE_H, TILE_W), jnp.float32),  # zbuf
             pltpu.VMEM((G_CH, TILE_H, TILE_W), jnp.float32),  # pass gbuf
@@ -554,11 +632,12 @@ def render_megakernel(
             pltpu.VMEM((n_samples, TILE_H, TILE_W), jnp.float32),  # won
             pltpu.VMEM((2, CHUNK, ROW_W), jnp.float32),  # DMA buffers
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),  # cross-pass prefetch flag
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=dims_sem,
         ),
         interpret=interpret,
-    )(tables.starts, tables.counts, tables.rows,
+    )(starts, counts, tables.rows,
       shade_tables.knot_tab, shade_tables.tex_tab, shade_tables.edge_tab,
-      lights.direction, lcol, misc, inv_vp)
+      lights.direction, lcol, misc, ivp)

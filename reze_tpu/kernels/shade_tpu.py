@@ -285,8 +285,9 @@ def _shade_kernel(
 ):
     if batched:
         # grid (C, by, bx): stack/misc/inv_vp/out are per-character blocks.
-        # misc keeps its (1, 8) block shape — _shade_layer indexes misc[0, i]
+        # misc arrives as a (1, 1, 8) block -> (1, 8) for _shade_layer
         stack_ref = stack_ref.at[0]
+        misc_ref = misc_ref.at[0]
         inv_vp_ref = inv_vp_ref.at[0]
         out_ref = out_ref.at[0]
         x0 = (pl.program_id(2) * TILE_W).astype(jnp.float32)
@@ -371,7 +372,10 @@ def shade_stack_tpu(
         stack_spec = pl.BlockSpec(
             (1, 2 * L_CH, TILE_H, TILE_W), lambda c, i, j: (c, 0, i, j),
             memory_space=pltpu.VMEM)
-        misc_spec = pl.BlockSpec((1, 8), lambda c, i, j: (c, 0),
+        # (C, 1, 8) with (1, 1, 8) blocks: block's last two dims equal the
+        # array's, which Mosaic accepts for sub-(8,128) shapes
+        misc = misc[:, None, :]
+        misc_spec = pl.BlockSpec((1, 1, 8), lambda c, i, j: (c, 0, 0),
                                  memory_space=pltpu.VMEM)
         ivp_spec = pl.BlockSpec((1, 4, 4), lambda c, i, j: (c, 0, 0),
                                 memory_space=pltpu.VMEM)

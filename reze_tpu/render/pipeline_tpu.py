@@ -148,6 +148,36 @@ def _composite_shaded_kernel(o, atlas_flat, dims, cfg, interpret=False):
     return jnp.clip(img_cf, 0.0, 1.0).transpose(1, 2, 0)
 
 
+def _finish_frame_crowd(o, atlas_flat, dims, cfg, interpret=False):
+    """Crowd composite: o (C, 2*O_CH, P) -> (C, H, W, 3). Nearest mode runs
+    the batched Pallas epilogue; bilinear vmaps the XLA composite."""
+    if cfg.albedo_bilinear:
+        return jax.vmap(
+            lambda o1: _composite_shaded(o1, atlas_flat, dims, cfg))(o)
+    from ..kernels import composite_tpu as CT
+
+    atlas32 = jax.lax.bitcast_convert_type(atlas_flat, jnp.int32)
+    c_dim = o.shape[0]
+    op = o.reshape(c_dim, 2 * ST.O_CH, dims.hp, dims.wp)
+    a0 = jax.vmap(lambda o1: _albedo_u32(
+        atlas32, o1, 0, dims, half_res=cfg.albedo_half_occluded))(o)
+    a1 = jax.vmap(lambda o1: _albedo_u32(
+        atlas32, o1, ST.O_CH, dims, half_res=cfg.albedo_half_visible))(o)
+    img_cf, half = CT.composite_tpu(
+        op, a0, a1, with_bloom=cfg.enable_bloom, interpret=interpret,
+    )
+    img_cf = img_cf[:, :, : dims.height, : dims.width]
+    if cfg.enable_bloom:
+        vm = half[:, :, : dims.height // 2, : dims.width]
+        hm = vm.reshape(c_dim, 3, dims.height // 2, dims.width // 2,
+                        2).mean(-1)
+        bloom = post.extract(hm, cfg.bloom_threshold)
+        bloom = post._blur_axis(post._blur_axis(bloom, 3), 2)
+        up = post._up2_axis_cf(post._up2_axis_cf(bloom, 2), 3)
+        img_cf = img_cf + up * cfg.bloom_intensity
+    return jnp.clip(img_cf, 0.0, 1.0).transpose(0, 2, 3, 1)
+
+
 def _finish_frame(o, atlas_flat, dims, cfg, interpret=False):
     """Composite route: Pallas epilogue for nearest-mode albedo (the
     measured-fast path), XLA composite for the bilinear parity config."""
@@ -191,6 +221,58 @@ _PASS_SPECS = (
     (CLASS_TRANSPARENT, raster.CULL_NONE, False),
     (CLASS_TRANSPARENT, raster.CULL_BACK, True),
 )
+
+
+def _build_group_tables(model, cfg, dims, tables, pos, nrm, view_proj, uvs,
+                        with_quad=False):
+    """Per-pass triangle setup + pair rows -> FrameTables for the grouped
+    megakernel (kernels/frame_tpu.py). Pure XLA, so crowds can jax.vmap it
+    over a leading character axis and feed the batched kernel."""
+    from ..kernels import frame_tpu as FT
+
+    rows_l, starts_l, counts_l = [], [], []
+    overflow = jnp.int32(0)
+    offset = 0
+    for cls, cull, outline in _PASS_SPECS:
+        data = _gather_pass(model, pos, nrm, view_proj, cls, outline,
+                            cfg.outline_scale, uvs)
+        t = data.valid.shape[0]
+        assert t < (1 << 15), f"pass has {t} triangles (>= 2^15)"
+        tri = raster.setup_triangles(
+            data.corners_clip, data.valid, dims.wp, dims.hp, cull
+        )
+        cols = tables.push_tab[jnp.maximum(data.tri_mat, 0)]  # (T, 7)
+        alpha = cols[:, 1] if outline else cols[:, 0]
+        cap = -(-int(t * cfg.pair_cap_scale + 1024) // FT.CHUNK) * FT.CHUNK
+        rows, starts, counts, ofl = FT.pack_pass_rows(
+            tri, data.corner_uv, data.corner_nrm, alpha, cols[:, 2],
+            cols[:, 4], cols[:, 5], cols[:, 6],
+            dims.hp // FT.TILE_H, dims.wp // FT.TILE_W, cap,
+            with_attrs=not outline,
+        )
+        rows_l.append(rows)
+        starts_l.append(starts + offset)
+        counts_l.append(counts)
+        overflow = overflow + ofl
+        offset += cap
+    rows_all = jnp.concatenate(rows_l + [jnp.zeros((FT.CHUNK, FT.ROW_W))])
+    rows_quad = None
+    if with_quad:
+        # (8, 4 * N) plane-coefficient table: window wi occupies lanes
+        # [512 wi, 512 (wi+1)) as [e0 | e1 | e2 | z] blocks of 128 pairs,
+        # rows [a; b; c; 0...] — one (1024, 8) @ (8, 512) matmul per sample
+        # evaluates every plane of a chunk (mxu rasterizer only)
+        n = rows_all.shape[0]
+        q = rows_all[:, :12].reshape(n // FT.CHUNK, FT.CHUNK, 4, 3)
+        q = q.transpose(3, 0, 2, 1).reshape(3, n * 4)
+        rows_quad = jnp.concatenate([q, jnp.zeros((5, n * 4))], axis=0)
+    return FT.FrameTables(
+        rows=rows_all,
+        rows_t=rows_quad,
+        starts=jnp.stack(starts_l),
+        counts=jnp.stack(counts_l),
+        overflow=overflow,
+    )
 
 
 def _build_stream_tables(model, cfg, dims, tables, pos, nrm, view_proj, uvs):
@@ -256,7 +338,6 @@ def render_frame_mega(
         tab = tab.at[:, 1].set(jnp.clip(tab[:, 1] * e_scale + e_add, 0.0, 1.0))
         tables = tables._replace(push_tab=tab)
 
-    pass_specs = _PASS_SPECS
     if cfg.rasterizer == "stream":
         # merged-stream megakernel (kernels/frame_stream.py): ONE pair walk
         # per tile covering all 7 passes
@@ -280,49 +361,8 @@ def render_frame_mega(
         flat = model.atlas.mip_flat if use_mips else packed.atlas_flat
         img = _finish_frame(o, flat, dims, cfg, interpret)
         return (img, st.overflow) if with_diag else img
-    rows_l, starts_l, counts_l = [], [], []
-    overflow = jnp.int32(0)
-    offset = 0
-    for cls, cull, outline in pass_specs:
-        data = _gather_pass(model, pos, nrm, view_proj, cls, outline,
-                            cfg.outline_scale, uvs)
-        t = data.valid.shape[0]
-        assert t < (1 << 15), f"pass has {t} triangles (>= 2^15)"
-        tri = raster.setup_triangles(
-            data.corners_clip, data.valid, dims.wp, dims.hp, cull
-        )
-        cols = tables.push_tab[jnp.maximum(data.tri_mat, 0)]  # (T, 7)
-        alpha = cols[:, 1] if outline else cols[:, 0]
-        cap = -(-int(t * cfg.pair_cap_scale + 1024) // FT.CHUNK) * FT.CHUNK
-        rows, starts, counts, ofl = FT.pack_pass_rows(
-            tri, data.corner_uv, data.corner_nrm, alpha, cols[:, 2],
-            cols[:, 4], cols[:, 5], cols[:, 6],
-            dims.hp // FT.TILE_H, dims.wp // FT.TILE_W, cap,
-            with_attrs=not outline,
-        )
-        rows_l.append(rows)
-        starts_l.append(starts + offset)
-        counts_l.append(counts)
-        overflow = overflow + ofl
-        offset += cap
-    rows_all = jnp.concatenate(rows_l + [jnp.zeros((FT.CHUNK, FT.ROW_W))])
-    rows_quad = None
-    if cfg.rasterizer == "mxu":
-        # (8, 4 * N) plane-coefficient table: window wi occupies lanes
-        # [512 wi, 512 (wi+1)) as [e0 | e1 | e2 | z] blocks of 128 pairs,
-        # rows [a; b; c; 0...] — one (1024, 8) @ (8, 512) matmul per sample
-        # evaluates every plane of a chunk
-        n = rows_all.shape[0]
-        q = rows_all[:, :12].reshape(n // FT.CHUNK, FT.CHUNK, 4, 3)
-        q = q.transpose(3, 0, 2, 1).reshape(3, n * 4)
-        rows_quad = jnp.concatenate([q, jnp.zeros((5, n * 4))], axis=0)
-    ft = FT.FrameTables(
-        rows=rows_all,
-        rows_t=rows_quad,
-        starts=jnp.stack(starts_l),
-        counts=jnp.stack(counts_l),
-        overflow=overflow,
-    )
+    ft = _build_group_tables(model, cfg, dims, tables, pos, nrm, view_proj,
+                             uvs, with_quad=cfg.rasterizer == "mxu")
     use_mips, lod_bias = _mip_args(cfg, model)
     if cfg.rasterizer == "mxu":
         from ..kernels import frame_mxu as FM
@@ -368,21 +408,26 @@ def render_crowd_mega(
     shade_tables: "ST.ShadeTables | None" = None,
     with_diag: bool = False,
 ) -> jax.Array:
-    """Crowd frame: C characters rendered by ONE batched stream megakernel.
+    """Crowd frame: C characters rendered by ONE batched megakernel launch.
 
-    The table build (pure XLA) is vmapped over the character axis, the
-    merged-stream rasterizer takes character as a leading grid dimension
-    (kernels/frame_stream.py), the 2-layer compose is vmapped XLA, and the
-    shade kernel runs batched (kernels/shade_tpu.py). Replaces the per-chip
+    The table build (pure XLA) is vmapped over the character axis and the
+    megakernel takes character as a leading grid dimension — the grouped
+    kernel (kernels/frame_tpu.py, default) rasterizes AND shades the whole
+    crowd in one pallas_call; rasterizer="stream" routes through the
+    merged-stream kernel + batched shade instead. The composite epilogue
+    runs batched too (kernels/composite_tpu.py). Replaces the per-chip
     sequential lax.map of whole frames (BASELINE config #5; the reference
     renders one character per page, engine.ts:2123-2243).
-    -> (C, H, W, 3), plus summed pair overflow with ``with_diag``.
+    -> (C, H, W, 3), plus per-character pair overflow with ``with_diag``.
     """
-    from ..kernels import frame_stream as FS
+    from ..kernels import frame_tpu as FT
 
     tables = (shade_tables if shade_tables is not None
               else ST.pack_shade_tables(model.materials, model.atlas))
     c_dim = pos.shape[0]
+    use_stream = cfg.rasterizer == "stream"
+    use_mips, lod_bias = _mip_args(cfg, model)
+    inv_vp = jax.vmap(m3.mat4_inverse)(view_proj)
 
     def build(pos1, nrm1, vp1, uvs1, mm1):
         tab = tables
@@ -392,32 +437,43 @@ def render_crowd_mega(
             pt = pt.at[:, 0].set(jnp.clip(pt[:, 0] * a_scale + a_add, 0.0, 1.0))
             pt = pt.at[:, 1].set(jnp.clip(pt[:, 1] * e_scale + e_add, 0.0, 1.0))
             tab = tab._replace(push_tab=pt)
-        return _build_stream_tables(model, cfg, dims, tab, pos1, nrm1, vp1,
-                                    uvs1)
+        if use_stream:
+            return _build_stream_tables(model, cfg, dims, tab, pos1, nrm1,
+                                        vp1, uvs1)
+        return _build_group_tables(model, cfg, dims, tab, pos1, nrm1, vp1,
+                                   uvs1)
 
-    st = jax.vmap(build, in_axes=(
-        0, 0, 0,
-        0 if uvs is not None else None,
-        0 if mat_mod is not None else None,
-    ))(pos, nrm, view_proj, uvs, mat_mod)
-    raw = FS.render_megakernel_stream(
-        st, hp=dims.hp, wp=dims.wp, n_samples=cfg.msaa_samples,
-        interpret=interpret,
-    )  # (C * B * 1024, S_OUT)
-    raw = raw.reshape(c_dim, dims.p, FS.S_OUT)
-    stack = jax.vmap(
-        lambda r: FS.compose_stream_state(r, dims.hp, dims.wp,
-                                          cfg.msaa_samples)
-    )(raw)  # (C, 2*L_CH, hp, wp)
-    use_mips, lod_bias = _mip_args(cfg, model)
-    inv_vp = jax.vmap(m3.mat4_inverse)(view_proj)
-    shaded = ST.shade_stack_tpu(
-        stack, tables, lights, None, cfg.rim_light_intensity, eye_pos,
-        inv_vp, interpret=interpret, use_mips=use_mips, lod_bias=lod_bias,
-    )  # (C, 2*O_CH, hp, wp)
+    in_axes = (0, 0, 0,
+               0 if uvs is not None else None,
+               0 if mat_mod is not None else None)
+    st = jax.vmap(build, in_axes=in_axes)(pos, nrm, view_proj, uvs, mat_mod)
+
+    if use_stream:
+        from ..kernels import frame_stream as FS
+
+        raw = FS.render_megakernel_stream(
+            st, hp=dims.hp, wp=dims.wp, n_samples=cfg.msaa_samples,
+            interpret=interpret,
+        )  # (C * B * 1024, S_OUT)
+        raw = raw.reshape(c_dim, dims.p, FS.S_OUT)
+        stack = jax.vmap(
+            lambda r: FS.compose_stream_state(r, dims.hp, dims.wp,
+                                              cfg.msaa_samples)
+        )(raw)  # (C, 2*L_CH, hp, wp)
+        shaded = ST.shade_stack_tpu(
+            stack, tables, lights, None, cfg.rim_light_intensity, eye_pos,
+            inv_vp, interpret=interpret, use_mips=use_mips,
+            lod_bias=lod_bias,
+        )  # (C, 2*O_CH, hp, wp)
+    else:
+        shaded = FT.render_megakernel(
+            st, tables, lights, cfg.rim_light_intensity, eye_pos, inv_vp,
+            hp=dims.hp, wp=dims.wp, n_samples=cfg.msaa_samples,
+            interpret=interpret, use_mips=use_mips, lod_bias=lod_bias,
+        )  # (C, 2*O_CH, hp, wp)
     o = shaded.reshape(c_dim, 2 * ST.O_CH, dims.p)
     flat = model.atlas.mip_flat if use_mips else packed.atlas_flat
-    img = jax.vmap(lambda o1: _composite_shaded(o1, flat, dims, cfg))(o)
+    img = _finish_frame_crowd(o, flat, dims, cfg, interpret)
     return (img, st.overflow) if with_diag else img  # overflow: (C,)
 
 

@@ -140,15 +140,16 @@ def test_batched_step_matches_single(tiny):
         )
 
 
-def test_crowd_megakernel_matches_single(tiny):
-    """Batched stream megakernel crowd (character grid axis in ONE Pallas
-    launch, distrib.py crowd_step) vs per-character single steps."""
+@pytest.mark.parametrize("rasterizer", ["group", "stream"])
+def test_crowd_megakernel_matches_single(tiny, rasterizer):
+    """Batched megakernel crowd (character grid axis in ONE Pallas launch,
+    distrib.py crowd_step) vs per-character single steps."""
     import dataclasses
 
     from reze_tpu import distrib
 
     cfg = dataclasses.replace(
-        tiny["cfg"], renderer="tpu", rasterizer="stream",
+        tiny["cfg"], renderer="tpu", rasterizer=rasterizer,
         use_megakernel=True, layered_shading=True,
     )
     model = tiny["model"]
@@ -180,7 +181,7 @@ def test_crowd_megakernel_multichip(tiny):
     from reze_tpu import distrib
 
     cfg = dataclasses.replace(
-        tiny["cfg"], renderer="tpu", rasterizer="stream",
+        tiny["cfg"], renderer="tpu", rasterizer="group",
         use_megakernel=True, layered_shading=True,
     )
     model = tiny["model"]
