@@ -50,6 +50,11 @@ def main():
         camera_target=(0.0, 17.1, 0.0),
         max_tris_per_bin=int(os.environ.get("BENCH_BIN_CAP", 1024)),
         rasterizer=os.environ.get("BENCH_RASTERIZER", "group"),
+        msaa_samples=int(os.environ.get("BENCH_MSAA", 4)),
+        msaa_mode=os.environ.get("BENCH_MSAA_MODE", "msaa"),
+        enable_physics=os.environ.get("BENCH_PHYSICS", "1") == "1",
+        enable_bloom=os.environ.get("BENCH_BLOOM", "1") == "1",
+        enable_ik=os.environ.get("BENCH_IK", "1") == "1",
     )
     built = load_model("/root/reference/web/public/models/塞尔凯特2/塞尔凯特2.pmx", cfg)
     model = built.arrays

@@ -49,6 +49,21 @@ class EngineConfig:
     camera_near: float = 0.05
     camera_far: float = 1000.0
     msaa_samples: int = 4
+    # anti-aliasing mode for the Pallas megakernel paths: "msaa" = per-sample
+    # depth tests with coverage-to-alpha (reference parity, engine.ts:72);
+    # "analytic" = ONE center depth test + fractional coverage from exact
+    # edge distances (~40% of the raster row work is the 4x sample loop —
+    # docs/DESIGN.md cost model). Silhouette blending differs by <1 sample
+    # quantum; intersecting-silhouette divergence is bounded by
+    # tests/test_render_pipeline.py::test_analytic_aa_close_to_msaa.
+    msaa_mode: str = "msaa"
+    # MSAA resolve on the XLA reference path: "coverage" folds sample
+    # coverage into blend alpha (the fast paths' approximation);
+    # "color" keeps a true per-sample color buffer and resolves by
+    # averaging, exactly like the reference's 4x multisample target
+    # (engine.ts:72, resolve at engine.ts:2146). Oracle for bounding the
+    # coverage-to-alpha divergence at intersecting silhouettes.
+    msaa_resolve: str = "coverage"
     stencil_eye_value: int = 1
     outline_scale: float = 0.01  # engine.ts:459 scaleFactor
     gravity: tuple[float, float, float] = (0.0, -98.0, 0.0)

@@ -61,17 +61,15 @@ ROW_W = 128  # f32 lanes per pair row (HBM DMA slices must be 128-aligned)
 # 0:9   ea0 eb0 ec0 ea1 eb1 ec1 ea2 eb2 ec2   (edge planes, pre-divided)
 # 9:12  za zb zc                              (depth plane)
 # 12:14 ymin ymax                             (pixel-space y range)
-# 14:19 alpha is_hair ramp_gid tex_gid edge_gid (material scalars)
+# 14    packed material code [alpha|ramp|tex|edge|hair]
+# 15:18 1/|grad e_i| (analytic-coverage AA)
 # 19:37 a0..a5 b0..b5 c0..c5                  (attribute planes)
 C_E = 0
 C_Z = 9
 C_YMIN = 12
 C_YMAX = 13
 C_ALPHA = 14
-C_HAIR = 15
-C_RAMP = 16
-C_TEX = 17
-C_EDGE = 18
+C_IGRAD = 15
 C_ATTR = 19
 
 # per-pass static config: (outline, depth_write, write_stencil, use_stencil)
@@ -139,12 +137,15 @@ def pack_pass_rows(
             + 1024.0 * (ramp_gid + 16.0 * tex_gid + 256.0 * edge_gid
                         + 4096.0 * is_hair.astype(jnp.float32)))
     zero = jnp.zeros_like(code)
+    # inverse edge-gradient magnitudes (1/|∇e_i| in pixels) for the
+    # analytic-coverage AA mode: coverage_i = clamp(0.5 + e_i * ig_i, 0, 1)
+    ig = jax.lax.rsqrt(jnp.maximum(ea * ea + eb * eb, 1e-24))  # (T, 3)
     cols = [
         ea[:, 0], eb[:, 0], ec[:, 0],
         ea[:, 1], eb[:, 1], ec[:, 1],
         ea[:, 2], eb[:, 2], ec[:, 2],
         za, zb, zc, ymin, ymax,
-        code, zero, zero, zero, zero,
+        code, ig[:, 0], ig[:, 1], ig[:, 2], zero,
     ]
     if with_attrs:
         iw = tri.inv_w
@@ -212,10 +213,16 @@ def pack_pass_rows(
 
 def _process_group(
     buf_ref, g, base_left, x0f, y0f, xs8, s_iota, zbuf_ref, gbuf_ref, won_ref,
-    *, n_samples, depth_write, with_attrs,
+    *, n_samples, depth_write, with_attrs, analytic=False,
 ):
     """Rasterize one group of 8 pairs (sublane = pair) into the (8, 128)
-    tile. All 8 rows are statically addressed vreg ops."""
+    tile. All 8 rows are statically addressed vreg ops.
+
+    ``analytic``: ONE center depth test; fractional pixel coverage from the
+    exact signed edge distances (clamp(0.5 + e_i/|grad e_i|, 0, 1) product)
+    instead of the n-sample loop. Depth writes stay center-gated so the AA
+    halo never occludes background geometry.
+    """
     rows = buf_ref[pl.ds(g * GROUP, GROUP), :]  # (8, ROW_W)
     valid = s_iota < base_left  # (8, 1): pairs beyond the segment masked off
 
@@ -243,10 +250,15 @@ def _process_group(
 
     # per-sample plane offsets (8, 1)
     offs = []
-    for s in range(n_samples):
-        dx, dy = SAMPLE_OFFSETS[s]
-        offs.append((ea0 * dx + eb0 * dy, ea1 * dx + eb1 * dy,
-                     ea2 * dx + eb2 * dy, za * dx + zb * dy))
+    if not analytic:
+        for s in range(n_samples):
+            dx, dy = SAMPLE_OFFSETS[s]
+            offs.append((ea0 * dx + eb0 * dy, ea1 * dx + eb1 * dy,
+                         ea2 * dx + eb2 * dy, za * dx + zb * dy))
+    else:
+        ig0 = col(C_IGRAD)
+        ig1 = col(C_IGRAD + 1)
+        ig2 = col(C_IGRAD + 2)
 
     if with_attrs:
         acols = []
@@ -294,22 +306,41 @@ def _process_group(
         e2 = ex2 + eb2 * ys
         zz = zx + zb * ys
         any_pass = None
-        for s in range(n_samples):
-            o0, o1, o2, oz = offs[s]
-            inside = (
-                ((e0 + o0) >= 0) & ((e1 + o1) >= 0) & ((e2 + o2) >= 0) & valid
-            )
-            zs = zz + oz
-            zrow = zbuf_ref[s, y:y + 1, :]  # (1, 128) static
-            passed = inside & (zs <= zrow) & (zs >= 0.0) & (zs <= 1.0)
-            zmin_s = jnp.min(jnp.where(passed, zs, 2.0), axis=0, keepdims=True)
+        if analytic:
+            cov = (jnp.clip(e0 * ig0 + 0.5, 0.0, 1.0)
+                   * jnp.clip(e1 * ig1 + 0.5, 0.0, 1.0)
+                   * jnp.clip(e2 * ig2 + 0.5, 0.0, 1.0))
+            zrow = zbuf_ref[0, y:y + 1, :]
+            zok = (zz <= zrow) & (zz >= 0.0) & (zz <= 1.0)
+            any_pass = (cov > 0.0) & valid & zok
+            # depth: center-covered fragments only
+            center = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & valid & zok
+            zmin_c = jnp.min(jnp.where(center, zz, 2.0), axis=0,
+                             keepdims=True)
             if depth_write:
-                zbuf_ref[s, y:y + 1, :] = jnp.minimum(zrow, zmin_s)
-            won_ref[s, y:y + 1, :] = jnp.maximum(
-                won_ref[s, y:y + 1, :],
-                jnp.max(passed.astype(jnp.float32), axis=0, keepdims=True),
+                zbuf_ref[0, y:y + 1, :] = jnp.minimum(zrow, zmin_c)
+            won_ref[0, y:y + 1, :] = jnp.maximum(
+                won_ref[0, y:y + 1, :],
+                jnp.max(jnp.where(any_pass, cov, 0.0), axis=0,
+                        keepdims=True),
             )
-            any_pass = passed if any_pass is None else (any_pass | passed)
+        else:
+            for s in range(n_samples):
+                o0, o1, o2, oz = offs[s]
+                inside = (
+                    ((e0 + o0) >= 0) & ((e1 + o1) >= 0) & ((e2 + o2) >= 0) & valid
+                )
+                zs = zz + oz
+                zrow = zbuf_ref[s, y:y + 1, :]  # (1, 128) static
+                passed = inside & (zs <= zrow) & (zs >= 0.0) & (zs <= 1.0)
+                zmin_s = jnp.min(jnp.where(passed, zs, 2.0), axis=0, keepdims=True)
+                if depth_write:
+                    zbuf_ref[s, y:y + 1, :] = jnp.minimum(zrow, zmin_s)
+                won_ref[s, y:y + 1, :] = jnp.maximum(
+                    won_ref[s, y:y + 1, :],
+                    jnp.max(passed.astype(jnp.float32), axis=0, keepdims=True),
+                )
+                any_pass = passed if any_pass is None else (any_pass | passed)
 
         if DEBUG_DEPTH_ONLY:
             continue
@@ -382,7 +413,7 @@ def _frame_kernel(
     pf_ref,  # SMEM (1,) i32: next pass's first chunk already in flight
     *,
     bx: int, wp: int, hp: int, n_samples: int, kr: int, kt: int, ke: int,
-    n_levels: int, batched: bool = False,
+    n_levels: int, batched: bool = False, analytic: bool = False,
 ):
     if batched:
         # grid (C, by, bx): one character per leading grid step; misc and
@@ -454,7 +485,7 @@ def _frame_kernel(
                             x0f, y0f, xs8, s_iota,
                             zbuf_ref, gbuf_ref, won_ref,
                             n_samples=n_samples, depth_write=depth_write,
-                            with_attrs=not outline,
+                            with_attrs=not outline, analytic=analytic,
                         )
                         return 0
 
@@ -544,6 +575,7 @@ def render_megakernel(
     interpret: bool = False,
     use_mips: bool = False,
     lod_bias: tuple[float, float] = (0.0, 0.0),
+    analytic: bool = False,
 ) -> jax.Array:
     """-> (2*O_CH, HP, WP) shade outputs (see shade_tpu channel layout).
 
@@ -575,7 +607,7 @@ def render_megakernel(
         kr=shade_tables.knot_tab.shape[0], kt=shade_tables.tex_tab.shape[0],
         ke=shade_tables.edge_tab.shape[0],
         n_levels=shade_tables.tex_tab.shape[1] - 4 if use_mips else 0,
-        batched=batched,
+        batched=batched, analytic=analytic,
     )
     if batched:
         grid = (c_dim, by, bx)

@@ -210,6 +210,113 @@ def _shade_outline_pass(
     return FrameBuffer(color, out.zbuf, fb.stencil)
 
 
+def _bary_at_center(tri: raster.TriSetup, pix_tri: Array, dims) -> Array:
+    """Clamped barycentrics of winner ``pix_tri`` at pixel centers, (P, 3).
+
+    Same formula as raster.rasterize_pass's winner bary — needed per SAMPLE
+    winner for the true-MSAA color resolve."""
+    safe = jnp.maximum(pix_tri, 0)
+    idx = jnp.arange(dims.p)
+    x = (idx % dims.wp).astype(jnp.float32) + 0.5
+    y = (idx // dims.wp).astype(jnp.float32) + 0.5
+    e = (tri.ea[safe] * x[:, None] + tri.eb[safe] * y[:, None]
+         + tri.ec[safe])
+    bary = jnp.clip(e * tri.inv_area2[safe][:, None], 0.0, 1.0)
+    return bary / jnp.maximum(jnp.sum(bary, axis=-1, keepdims=True), 1e-8)
+
+
+def _render_frame_color_resolve(
+    model, cfg, dims, pos, nrm, view_proj, eye_pos, lights, uvs,
+) -> Array:
+    """True per-sample MSAA color resolve (engine.ts:72 multisample target,
+    hardware resolve at engine.ts:2146): every sample carries its own color
+    and stencil; fragments shade once per pixel (attributes at the center,
+    WebGPU default) and write their covered samples; the final image is the
+    sample average. The production paths approximate this by folding
+    coverage into blend alpha; this oracle bounds that approximation."""
+    s_count = cfg.msaa_samples
+    scale = cfg.outline_scale
+    zbuf = jnp.full((dims.b, s_count, dims.tile, dims.tile), 1.0)
+    color = jnp.zeros((s_count, dims.p, 3))
+    stencil = jnp.zeros((s_count, dims.p), jnp.int32)
+
+    def sample_winners(out):
+        # (B, S, th, tw) -> list of (P,) per-sample winner ids
+        return [_untile(out.win[:, s], dims) for s in range(s_count)]
+
+    def material_pass(state, cls, cull, hair=False, eye=False):
+        zbuf, color, stencil = state
+        data = _gather_pass(model, pos, nrm, view_proj, cls, False, scale,
+                            uvs)
+        tri = raster.setup_triangles(data.corners_clip, data.valid, dims.wp,
+                                     dims.hp, cull)
+        k = min(data.valid.shape[0], cfg.max_tris_per_bin)
+        k = max(round_up(k, 8), 8)
+        bins = raster.bin_triangles(tri, dims.by, dims.bx, dims.tile, k)
+        out = raster.rasterize_pass(tri, bins, zbuf, tile=dims.tile,
+                                    bx=dims.bx, depth_write=True)
+        new_c, new_st = [], []
+        for s, win_s in enumerate(sample_winners(out)):
+            mask = win_s >= 0
+            bary = _bary_at_center(tri, win_s, dims)
+            uv = shading.interpolate(data.corner_uv, tri.inv_w, win_s, bary)
+            nr = shading.interpolate(data.corner_nrm, tri.inv_w, win_s, bary)
+            wp_ = shading.interpolate(data.corner_pos, tri.inv_w, win_s, bary)
+            mat = data.tri_mat[jnp.maximum(win_s, 0)]
+            rgb = shading.shade_toon(
+                model.materials, model.atlas, lights, mat, uv, nr, wp_,
+                eye_pos, cfg.rim_light_intensity,
+            )
+            alpha = model.materials.alpha[mat]
+            if hair:
+                alpha = alpha * jnp.where(
+                    stencil[s] == cfg.stencil_eye_value, 0.5, 1.0)
+            cs = shading.blend_into(
+                color[s], rgb, alpha, jnp.ones((dims.p,)), mask)
+            st = stencil[s]
+            if eye:
+                st = jnp.where(mask, jnp.int32(cfg.stencil_eye_value), st)
+            new_c.append(cs)
+            new_st.append(st)
+        return out.zbuf, jnp.stack(new_c), jnp.stack(new_st)
+
+    def outline_pass(state, cls, depth_write=True):
+        zbuf, color, stencil = state
+        data = _gather_pass(model, pos, nrm, view_proj, cls, True, scale)
+        tri = raster.setup_triangles(data.corners_clip, data.valid, dims.wp,
+                                     dims.hp, raster.CULL_BACK)
+        k = min(data.valid.shape[0], cfg.max_tris_per_bin)
+        k = max(round_up(k, 8), 8)
+        bins = raster.bin_triangles(tri, dims.by, dims.bx, dims.tile, k)
+        out = raster.rasterize_pass(tri, bins, zbuf, tile=dims.tile,
+                                    bx=dims.bx, depth_write=depth_write)
+        new_c = []
+        for s, win_s in enumerate(sample_winners(out)):
+            mask = win_s >= 0
+            mat = data.tri_mat[jnp.maximum(win_s, 0)]
+            edge = model.materials.edge_color[mat]
+            new_c.append(shading.blend_into(
+                color[s], edge[:, :3], edge[:, 3], jnp.ones((dims.p,)),
+                mask))
+        return out.zbuf, jnp.stack(new_c), stencil
+
+    st = (zbuf, color, stencil)
+    st = material_pass(st, CLASS_OPAQUE, raster.CULL_NONE)
+    st = material_pass(st, CLASS_EYE, raster.CULL_FRONT, eye=True)
+    st = outline_pass(st, CLASS_OPAQUE)
+    st = material_pass(st, CLASS_HAIR, raster.CULL_FRONT, hair=True)
+    st = outline_pass(st, CLASS_HAIR, depth_write=False)
+    st = material_pass(st, CLASS_TRANSPARENT, raster.CULL_NONE)
+    st = outline_pass(st, CLASS_TRANSPARENT)
+    _, color, _ = st
+
+    img = color.mean(0).reshape(dims.hp, dims.wp, 3)
+    img = img[: dims.height, : dims.width]
+    if cfg.enable_bloom:
+        img = post.apply_bloom(img, cfg.bloom_threshold, cfg.bloom_intensity)
+    return jnp.clip(img, 0.0, 1.0)
+
+
 def render_frame(
     model: ModelArrays,
     cfg: EngineConfig,
@@ -223,6 +330,10 @@ def render_frame(
     mat_mod: tuple | None = None,
 ) -> Array:
     """Render one frame -> (H, W, 3) float rgb (pre-bloom-tonemap linear)."""
+    if cfg.msaa_resolve == "color":
+        assert mat_mod is None, "color-resolve oracle: static materials only"
+        return _render_frame_color_resolve(
+            model, cfg, dims, pos, nrm, view_proj, eye_pos, lights, uvs)
     fb = init_framebuffer(dims, cfg.msaa_samples)
     scale = cfg.outline_scale
 

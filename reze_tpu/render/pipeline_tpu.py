@@ -381,10 +381,13 @@ def render_frame_mega(
             inv_vp, interpret=interpret, use_mips=use_mips, lod_bias=lod_bias,
         )
     else:
+        analytic = cfg.msaa_mode == "analytic"
         shaded = FT.render_megakernel(
             ft, tables, lights, cfg.rim_light_intensity, eye_pos, inv_vp,
-            hp=dims.hp, wp=dims.wp, n_samples=cfg.msaa_samples,
+            hp=dims.hp, wp=dims.wp,
+            n_samples=1 if analytic else cfg.msaa_samples,
             interpret=interpret, use_mips=use_mips, lod_bias=lod_bias,
+            analytic=analytic,
         )
     o = shaded.reshape(2 * ST.O_CH, dims.p)
     flat = model.atlas.mip_flat if use_mips else packed.atlas_flat
@@ -466,10 +469,13 @@ def render_crowd_mega(
             lod_bias=lod_bias,
         )  # (C, 2*O_CH, hp, wp)
     else:
+        analytic = cfg.msaa_mode == "analytic"
         shaded = FT.render_megakernel(
             st, tables, lights, cfg.rim_light_intensity, eye_pos, inv_vp,
-            hp=dims.hp, wp=dims.wp, n_samples=cfg.msaa_samples,
+            hp=dims.hp, wp=dims.wp,
+            n_samples=1 if analytic else cfg.msaa_samples,
             interpret=interpret, use_mips=use_mips, lod_bias=lod_bias,
+            analytic=analytic,
         )  # (C, 2*O_CH, hp, wp)
     o = shaded.reshape(c_dim, 2 * ST.O_CH, dims.p)
     flat = model.atlas.mip_flat if use_mips else packed.atlas_flat

@@ -147,6 +147,7 @@ class RasterOut(NamedTuple):
     pix_tri: Array  # (B, th, tw) winning pass-local tri id, -1 = none
     pix_bary: Array  # (B, th, tw, 3) clamped barycentrics at pixel center
     cover: Array  # (B, th, tw) fraction of samples won by pix_tri
+    win: Array  # (B, S, th, tw) per-sample winning tri id (true MSAA resolve)
 
 
 def rasterize_pass(
@@ -268,7 +269,7 @@ def rasterize_pass(
     bary = jnp.clip(bary, 0.0, 1.0)
     bary = bary / jnp.maximum(jnp.sum(bary, axis=-1, keepdims=True), 1e-8)
 
-    return RasterOut(zbuf_out, pix_tri, bary, cover)
+    return RasterOut(zbuf_out, pix_tri, bary, cover, win)
 
 
 # ---------------------------------------------------------------------------

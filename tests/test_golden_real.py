@@ -128,3 +128,44 @@ def test_fast_path_tight_parity(scene):
     mean = d[covered].mean()
     assert frac <= 0.25, f"{frac:.4f} of covered pixels differ by > 0.02"
     assert mean <= 0.05, f"mean covered luminance diff {mean:.4f}"
+
+
+def test_face_closeup_coverage_vs_color_resolve(scene):
+    """Root cause of the round-2 'face detail through skin at close-up'
+    artifact (PARITY.md): the production paths fold MSAA sample coverage
+    into blend ALPHA, so a silhouette fragment crossing an already-covered
+    pixel becomes translucent and blends the OCCLUDED layer through (gray
+    hair-strand ghosts on the forehead, eyelash/teeth detail through skin).
+    msaa_resolve="color" keeps a true per-sample color buffer (the
+    reference's 4x multisample target, engine.ts:72/2146) and has no such
+    bleed. This pins the divergence at the close-up that exposed it —
+    confined to silhouette pixels, bounded mean."""
+    import dataclasses
+
+    cfg, m, track = scene
+    cfg = dataclasses.replace(
+        cfg, width=128, height=128, enable_bloom=False,
+        camera_distance=2.5,
+    )
+    pos, nrm = _pose_at(m, track, 0.0)
+    hp = np.asarray(fk.world_transforms(
+        m.skeleton,
+        jnp.zeros((m.skeleton.j, 4)).at[:, 3].set(1.0),
+        jnp.zeros((m.skeleton.j, 3)))[1])
+    head_y = float(hp[:, 1].max())  # head-ish height without name lookup
+    cam = Camera(alpha=np.pi, beta=np.pi / 2, radius=2.5,
+                 target=(0.0, head_y - 0.35, 0.0), aspect=1.0)
+    lights = pipeline.make_lights(cfg)
+    imgs = {}
+    for res in ("coverage", "color"):
+        c = dataclasses.replace(cfg, msaa_resolve=res)
+        dims = pipeline.make_dims(c)
+        imgs[res] = np.asarray(pipeline.render_frame(
+            m, c, dims, pos, nrm, cam.view_proj(), cam.position(), lights))
+    d = np.abs(imgs["coverage"] - imgs["color"]).max(-1)
+    covered = imgs["color"].sum(-1) > 0.01
+    assert covered.sum() > 1000
+    # the approximation's error is confined to silhouette pixels: small
+    # mean, bounded fraction of strongly-diverging pixels
+    assert d[covered].mean() < 0.02, d[covered].mean()
+    assert (d[covered] > 0.15).mean() < 0.05, (d[covered] > 0.15).mean()

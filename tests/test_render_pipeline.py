@@ -190,3 +190,38 @@ def test_pair_overflow_detected():
         jnp.zeros((8192,), jnp.int32), hp // RT.TILE_H, wp // RT.TILE_W,
     )
     assert int(tabs.overflow) == 8192 * 32 - 2 * RT.MAX_TRIS_PER_CALL
+
+
+def test_analytic_aa_close_to_msaa(scene):
+    """msaa_mode="analytic" (one center depth test + fractional coverage
+    from exact edge distances) vs the 4x MSAA megakernel. The modes agree
+    on interior pixels exactly; silhouette pixels may differ by up to one
+    coverage quantum. This synthetic scene is silhouette-heavy (small
+    stacked quads), so the bound is intentionally interior-driven: mean
+    divergence small, outliers confined to edge pixels."""
+    import dataclasses
+
+    s = dict(scene)
+    cfg = dataclasses.replace(
+        scene["cfg"], width=256, height=64,
+        albedo_half_visible=False, albedo_half_occluded=False,
+    )
+    dims = pipeline_tpu.make_dims_fast(cfg)
+    packed = SF.pack_materials(s["model"].materials, s["model"].atlas)
+
+    def render(mode):
+        c = dataclasses.replace(cfg, msaa_mode=mode)
+        return np.asarray(pipeline_tpu.render_frame_mega(
+            s["model"], c, dims, packed, s["pos"], s["nrm"],
+            s["cam"].view_proj(), s["cam"].position(), s["lights"],
+            interpret=True,
+        ))
+
+    msaa = render("msaa")
+    ana = render("analytic")
+    covered = (msaa.sum(-1) > 0.01) | (ana.sum(-1) > 0.01)
+    assert covered.sum() > 100
+    diff = np.abs(msaa - ana).max(-1)
+    # interior pixels identical; divergence confined to silhouettes
+    assert diff[covered].mean() < 0.03, diff[covered].mean()
+    assert (diff[covered] > 0.25).mean() < 0.10
