@@ -136,7 +136,7 @@ def stage_fn(level):
         o = shaded.reshape(2 * ST.O_CH, dims.p)
         flat = (model.atlas.mip_flat if cfg.albedo_mips
                 else packed.atlas_flat)
-        img = PT._composite_shaded(o, flat, dims, cfg)
+        img = PT._finish_frame(o, flat, dims, cfg)
         return img.sum()
     return f
 
