@@ -95,10 +95,13 @@ def _mip_args(cfg: EngineConfig, model: ModelArrays) -> tuple[bool, tuple]:
                   1.0 if cfg.albedo_half_visible else 0.0)
 
 
-def _albedo_u32(atlas32, o, base, dims, *, half_res: bool) -> jax.Array:
-    """Texel index channels -> (hp, wp) i32 packed texels (one u32 gather
-    per pixel; byte unpack happens in the composite kernel).
+def _albedo_u32(atlas_u8, o, base, dims, *, half_res: bool) -> jax.Array:
+    """Texel index channels -> (hp, wp) i32 packed texels (one gather per
+    pixel; byte unpack happens in the composite kernel).
 
+    The gather runs against the (N, 4) u8 atlas rows — measured ~20%
+    faster per index than a scalar-u32 gather (scripts/mb_gather.py) —
+    and bitcasts the result to i32 (free, layout-compatible).
     Mirrors _fetch_albedo's nearest path: idx = tex + (fx>.5)dx + (fy>.5)dy;
     half_res gathers every other pixel and replicates 2x2.
     """
@@ -110,15 +113,19 @@ def _albedo_u32(atlas32, o, base, dims, *, half_res: bool) -> jax.Array:
     dy = dxdy - dx
     near = tex + jnp.where(fx > 0.5, dx, 0.0) + jnp.where(fy > 0.5, dy, 0.0)
     idx = jnp.maximum(near, 0.0).astype(jnp.int32)
+
+    def g32(i):
+        return jax.lax.bitcast_convert_type(atlas_u8[i], jnp.int32)
+
     if half_res:
         h2, w2 = dims.hp // 2, dims.wp // 2
         i2 = idx.reshape(h2, 2, dims.wp)[:, 0, :]
         i4 = i2[:, ::2]
-        tx = atlas32[i4]  # (h2, w2) i32
+        tx = g32(i4)  # (h2, w2) i32
         tx = jnp.broadcast_to(tx[:, :, None], (h2, w2, 2)).reshape(h2, dims.wp)
         tx = jnp.broadcast_to(tx[:, None, :], (h2, 2, dims.wp))
         return tx.reshape(dims.hp, dims.wp)
-    return atlas32[idx].reshape(dims.hp, dims.wp)
+    return g32(idx).reshape(dims.hp, dims.wp)
 
 
 def _composite_shaded_kernel(o, atlas_flat, dims, cfg, interpret=False):
@@ -127,10 +134,10 @@ def _composite_shaded_kernel(o, atlas_flat, dims, cfg, interpret=False):
     Nearest-mode only (bilinear keeps _composite_shaded)."""
     from ..kernels import composite_tpu as CT
 
-    atlas32 = jax.lax.bitcast_convert_type(atlas_flat, jnp.int32)
     op = o.reshape(2 * ST.O_CH, dims.hp, dims.wp)
-    a0 = _albedo_u32(atlas32, o, 0, dims, half_res=cfg.albedo_half_occluded)
-    a1 = _albedo_u32(atlas32, o, ST.O_CH, dims,
+    a0 = _albedo_u32(atlas_flat, o, 0, dims,
+                     half_res=cfg.albedo_half_occluded)
+    a1 = _albedo_u32(atlas_flat, o, ST.O_CH, dims,
                      half_res=cfg.albedo_half_visible)
     img_cf, half = CT.composite_tpu(
         op, a0, a1, with_bloom=cfg.enable_bloom, interpret=interpret,
@@ -156,13 +163,12 @@ def _finish_frame_crowd(o, atlas_flat, dims, cfg, interpret=False):
             lambda o1: _composite_shaded(o1, atlas_flat, dims, cfg))(o)
     from ..kernels import composite_tpu as CT
 
-    atlas32 = jax.lax.bitcast_convert_type(atlas_flat, jnp.int32)
     c_dim = o.shape[0]
     op = o.reshape(c_dim, 2 * ST.O_CH, dims.hp, dims.wp)
     a0 = jax.vmap(lambda o1: _albedo_u32(
-        atlas32, o1, 0, dims, half_res=cfg.albedo_half_occluded))(o)
+        atlas_flat, o1, 0, dims, half_res=cfg.albedo_half_occluded))(o)
     a1 = jax.vmap(lambda o1: _albedo_u32(
-        atlas32, o1, ST.O_CH, dims, half_res=cfg.albedo_half_visible))(o)
+        atlas_flat, o1, ST.O_CH, dims, half_res=cfg.albedo_half_visible))(o)
     img_cf, half = CT.composite_tpu(
         op, a0, a1, with_bloom=cfg.enable_bloom, interpret=interpret,
     )
