@@ -115,8 +115,13 @@ class EngineConfig:
     # kernels/frame_mxu.py) or "group" (sublane groups, kernels/frame_tpu.py)
     rasterizer: str = "group"
     # static (bin, tri) pair capacity per pass, as a multiple of the pass's
-    # triangle count (overflow is counted, not silent)
-    pair_cap_scale: float = 3.0
+    # triangle count (overflow is counted and surfaced via get_stats).
+    # Measured need at 1080p on the flagship model (scripts + /tmp probe,
+    # r3): worst pass is TRANSPARENT at 3.70 pairs/tri (large dress
+    # triangles span many (8, 128) tiles); 3.0 silently dropped ~13% of
+    # that pass's pairs. 4.0 covers all passes with margin; the ratio grows
+    # with resolution, so >1080p should raise it (overflow warns).
+    pair_cap_scale: float = 4.0
 
     @property
     def bloom_size(self) -> tuple[int, int]:
