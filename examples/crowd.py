@@ -18,6 +18,9 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--batch", type=int, default=4)
 parser.add_argument("--size", type=int, default=256)
 parser.add_argument("--frames", type=int, default=30)
+parser.add_argument("--chunk", type=int, default=0,
+                    help="characters per megakernel launch (0 = all at once;"
+                         " use ~32 for 256-char crowds)")
 parser.add_argument("--out", default="/tmp/crowd")
 args = parser.parse_args()
 
@@ -60,7 +63,8 @@ dims = (
     else pipeline.make_dims(cfg)
 )
 lights = pipeline.make_lights(cfg)
-step = distrib.make_batched_step(model, cfg, None, mesh)
+step = distrib.make_batched_step(model, cfg, None, mesh,
+                                 crowd_chunk=args.chunk or None)
 
 states = distrib.batch_state(model, B)
 # stagger clip start times so every character dances out of phase

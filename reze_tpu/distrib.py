@@ -53,6 +53,7 @@ def make_batched_step(
     dims,
     mesh: Mesh,
     per_character_clips: bool = False,
+    crowd_chunk: int | None = None,
 ):
     """jit-compiled crowd step: (states, dt, view_projs, eyes, lights, track,
     breath) -> (states', frames (B, H, W, 3)), batch sharded over 'data'.
@@ -61,6 +62,12 @@ def make_batched_step(
     ``per_character_clips=True`` the AnimationTrack is expected stacked with
     a leading character axis (independent VMD clips, BASELINE config #5);
     otherwise one clip is shared by the whole crowd.
+
+    ``crowd_chunk`` bounds the characters per megakernel launch: the
+    batched raster tables cost ~140 MB of HBM per character at the
+    flagship model's triangle count, so a 256-character crowd on one chip
+    runs as lax.map over ceil(B/chunk) batched launches (e.g. chunk 32 ->
+    ~4.5 GB of tables live at once) instead of one 36 GB launch.
     """
     single = make_step(model, cfg, dims)
     track_axes = 0 if per_character_clips else None
@@ -112,11 +119,40 @@ def make_batched_step(
             )
             return new_states, frames
 
+        def chunked_step(states, dt, view_projs, eyes, lights, track,
+                         breath):
+            b = jax.tree.leaves(states)[0].shape[0]
+            if crowd_chunk is None or b <= crowd_chunk:
+                return crowd_step(states, dt, view_projs, eyes, lights,
+                                  track, breath)
+            assert b % crowd_chunk == 0, (b, crowd_chunk)
+            n = b // crowd_chunk
+
+            def split(tree):
+                return jax.tree.map(
+                    lambda x: x.reshape((n, crowd_chunk) + x.shape[1:]), tree)
+
+            def body(x):
+                if per_character_clips:
+                    s, vp, eye, tr = x
+                else:
+                    s, vp, eye = x
+                    tr = track
+                return crowd_step(s, dt, vp, eye, lights, tr, breath)
+
+            xs = ((split(states), split(view_projs), split(eyes),
+                   split(track)) if per_character_clips
+                  else (split(states), split(view_projs), split(eyes)))
+            new_states, frames = jax.lax.map(body, xs)
+            unsplit = lambda t: jax.tree.map(  # noqa: E731
+                lambda x: x.reshape((b,) + x.shape[2:]), t)
+            return unsplit(new_states), unsplit(frames)
+
         def batched(states, dt, view_projs, eyes, lights, track, breath):
             if mesh.size > 1:
                 tr_spec = P2("data") if per_character_clips else P2()
                 mapped = shard_map(
-                    crowd_step, mesh=mesh,
+                    chunked_step, mesh=mesh,
                     in_specs=(P2("data"), P2(), P2("data"), P2("data"),
                               P2(), tr_spec, P2()),
                     out_specs=P2("data"),
@@ -124,8 +160,8 @@ def make_batched_step(
                 )
                 return mapped(states, dt, view_projs, eyes, lights, track,
                               breath)
-            return crowd_step(states, dt, view_projs, eyes, lights, track,
-                              breath)
+            return chunked_step(states, dt, view_projs, eyes, lights, track,
+                                breath)
 
         return jax.jit(batched, donate_argnums=(0,))
 

@@ -202,3 +202,29 @@ def test_crowd_megakernel_multichip(tiny):
     assert np.isfinite(f).all()
     for i in range(1, b):
         np.testing.assert_allclose(f[i], f[0], atol=1e-5)
+
+
+def test_crowd_chunked_matches_unchunked(tiny):
+    """crowd_chunk splits a crowd into fixed-size megakernel launches
+    (HBM-bounded 256-char crowds); results must match the single launch."""
+    import dataclasses
+
+    from reze_tpu import distrib
+
+    cfg = dataclasses.replace(
+        tiny["cfg"], renderer="tpu", rasterizer="group",
+        use_megakernel=True, layered_shading=True,
+    )
+    model = tiny["model"]
+    b = 4
+    mesh = distrib.make_mesh(1)
+    vp = jnp.broadcast_to(tiny["cam"].view_proj(), (b, 4, 4))
+    eye = jnp.broadcast_to(tiny["cam"].position(), (b, 3))
+    args = (jnp.float32(1 / 60), vp, eye, tiny["lights"], tiny["track"],
+            tiny["breath"])
+    one = distrib.make_batched_step(model, cfg, None, mesh)
+    _, f_one = one(distrib.batch_state(model, b), *args)
+    two = distrib.make_batched_step(model, cfg, None, mesh, crowd_chunk=2)
+    _, f_two = two(distrib.batch_state(model, b), *args)
+    np.testing.assert_allclose(np.asarray(f_two), np.asarray(f_one),
+                               atol=1e-5)
