@@ -308,6 +308,17 @@ def _solve_joints_slice(
         alpha = jnp.where(k_lin > 0, 1.0 / jnp.maximum(k_lin, 1e-6), 0.0) / jnp.maximum(h * h, 1e-12)
         lin_solves.append((jnp.where(k_lin > 0, d_axes, 0.0), alpha))
 
+    # every sub-solve below computes its correction from the SAME
+    # slice-start state (pa/pb/ra/rb/ii are not refreshed within the
+    # slice), so the per-joint impulses accumulate in (NJ, 3) locals and
+    # scatter ONCE per side at the end — 24 scatter-adds -> 4 (scatter ops
+    # carry fixed overhead on TPU; this slice runs 10 colors x 10
+    # iterations per substep)
+    imp_b = jnp.zeros_like(pa)
+    imp_a = jnp.zeros_like(pa)
+    tq_b = jnp.zeros_like(pa)
+    tq_a = jnp.zeros_like(pa)
+
     ra = pa - pos[a]
     rb = pb - pos[b]
     for axis_k in range(3):
@@ -326,14 +337,10 @@ def _solve_joints_slice(
             dlam = jnp.where(w_sum > 0, dlam, 0.0)
             p_imp = n * dlam[:, None]
             # B moves +, A moves - (c = d·n, d = pb - pa)
-            dpos = dpos.at[b].add(p_imp * wb[:, None])
-            dpos = dpos.at[a].add(-p_imp * wa[:, None])
-            dq_acc = dq_acc.at[b].add(
-                jnp.einsum("bij,bj->bi", ii_b, jnp.cross(rb, p_imp))
-            )
-            dq_acc = dq_acc.at[a].add(
-                -jnp.einsum("bij,bj->bi", ii_a, jnp.cross(ra, p_imp))
-            )
+            imp_b = imp_b + p_imp * wb[:, None]
+            imp_a = imp_a - p_imp * wa[:, None]
+            tq_b = tq_b + jnp.einsum("bij,bj->bi", ii_b, jnp.cross(rb, p_imp))
+            tq_a = tq_a - jnp.einsum("bij,bj->bi", ii_a, jnp.cross(ra, p_imp))
 
     # ---- angular: relative rotation euler (ZXY) per-axis limits + springs
     q_rel = m3.quat_mul(m3.quat_conj(qa), qb)
@@ -358,8 +365,13 @@ def _solve_joints_slice(
             dlam = -c_val / jnp.maximum(w_sum + comp, 1e-9)
             dlam = jnp.where(w_sum > 0, dlam, 0.0)
             t_imp = n * dlam[:, None]
-            dq_acc = dq_acc.at[b].add(jnp.einsum("bij,bj->bi", ii_b, t_imp))
-            dq_acc = dq_acc.at[a].add(-jnp.einsum("bij,bj->bi", ii_a, t_imp))
+            tq_b = tq_b + jnp.einsum("bij,bj->bi", ii_b, t_imp)
+            tq_a = tq_a - jnp.einsum("bij,bj->bi", ii_a, t_imp)
+
+    # the four deferred scatters (within a color each body appears in at
+    # most one joint, so index sets are duplicate-free)
+    dpos = dpos.at[b].add(imp_b).at[a].add(imp_a)
+    dq_acc = dq_acc.at[b].add(tq_b).at[a].add(tq_a)
 
     pos = pos + dpos
     quat = _quat_add_rot(quat, dq_acc)
