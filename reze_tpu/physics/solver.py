@@ -276,16 +276,24 @@ def _solve_joints_slice(
     a = jnp.maximum(js.a, 0)
     b = jnp.maximum(js.b, 0)
 
-    # world joint frames
-    pa = pos[a] + m3.quat_rotate(quat[a], js.pos_a)
-    pb = pos[b] + m3.quat_rotate(quat[b], js.pos_b)
-    qa = m3.quat_mul(quat[a], js.quat_a)
-    qb = m3.quat_mul(quat[b], js.quat_b)
+    # ONE packed row gather per side instead of 4 separate gathers (gather
+    # cost is per-index — docs/DESIGN.md round 3): [pos | quat | w | ii]
+    state_tab = jnp.concatenate(
+        [pos, quat, inv_mass[:, None],
+         inv_inertia_w.reshape(pos.shape[0], 9)], axis=1)  # (N, 17)
+    row_a = state_tab[a]
+    row_b = state_tab[b]
+    pos_a, quat_a = row_a[:, 0:3], row_a[:, 3:7]
+    pos_b, quat_b = row_b[:, 0:3], row_b[:, 3:7]
+    wa, wb = row_a[:, 7], row_b[:, 7]
+    ii_a = row_a[:, 8:17].reshape(-1, 3, 3)
+    ii_b = row_b[:, 8:17].reshape(-1, 3, 3)
 
-    wa = inv_mass[a]
-    wb = inv_mass[b]
-    ii_a = inv_inertia_w[a]
-    ii_b = inv_inertia_w[b]
+    # world joint frames
+    pa = pos_a + m3.quat_rotate(quat_a, js.pos_a)
+    pb = pos_b + m3.quat_rotate(quat_b, js.pos_b)
+    qa = m3.quat_mul(quat_a, js.quat_a)
+    qb = m3.quat_mul(quat_b, js.quat_b)
 
     dpos = jnp.zeros_like(pos)
     dq_acc = jnp.zeros_like(pos)  # rotation vectors
@@ -319,8 +327,8 @@ def _solve_joints_slice(
     tq_b = jnp.zeros_like(pa)
     tq_a = jnp.zeros_like(pa)
 
-    ra = pa - pos[a]
-    rb = pb - pos[b]
+    ra = pa - pos_a
+    rb = pb - pos_b
     for axis_k in range(3):
         n = axes[:, axis_k]  # (NJ, 3)
         for c_all, compliance in lin_solves:
@@ -412,26 +420,37 @@ def _solve_contacts(
     """One Jacobi iteration of non-penetration contacts (under-relaxed)
     over the substep's active pair set."""
     a0, a1, ra = _shape_segment(pm, pos, quat)
-    c1, c2 = _closest_segment_segment(a0[i], a1[i], a0[j], a1[j])
+    # ONE packed row gather per side instead of 6 (per-index gather cost):
+    # [a0 | a1 | r | pos | w | ii]
+    seg_tab = jnp.concatenate(
+        [a0, a1, ra[:, None], pos, inv_mass[:, None],
+         inv_inertia_w.reshape(pos.shape[0], 9)], axis=1)  # (N, 20)
+    row_i = seg_tab[i]
+    row_j = seg_tab[j]
+    c1, c2 = _closest_segment_segment(
+        row_i[:, 0:3], row_i[:, 3:6], row_j[:, 0:3], row_j[:, 3:6])
+    r_i, r_j = row_i[:, 6], row_j[:, 6]
+    pos_i, pos_j = row_i[:, 7:10], row_j[:, 7:10]
+    wi, wj = row_i[:, 10], row_j[:, 10]
+    ii_i = row_i[:, 11:20].reshape(-1, 3, 3)
+    ii_j = row_j[:, 11:20].reshape(-1, 3, 3)
     delta = c2 - c1
     dist = jnp.linalg.norm(delta, axis=-1)
-    rsum = ra[i] + ra[j]
+    rsum = r_i + r_j
     pen = rsum - dist  # > 0 means penetration
     n = delta / jnp.maximum(dist, 1e-8)[:, None]
     active = pen > 0.0
 
-    wi = inv_mass[i]
-    wj = inv_mass[j]
-    pi_ = c1 + n * ra[i][:, None]
-    pj_ = c2 - n * ra[j][:, None]
-    ri = pi_ - pos[i]
-    rj = pj_ - pos[j]
+    pi_ = c1 + n * r_i[:, None]
+    pj_ = c2 - n * r_j[:, None]
+    ri = pi_ - pos_i
+    rj = pj_ - pos_j
     ri_x_n = jnp.cross(ri, n)
     rj_x_n = jnp.cross(rj, n)
     w_sum = (
         wi + wj
-        + jnp.einsum("bi,bij,bj->b", ri_x_n, inv_inertia_w[i], ri_x_n)
-        + jnp.einsum("bi,bij,bj->b", rj_x_n, inv_inertia_w[j], rj_x_n)
+        + jnp.einsum("bi,bij,bj->b", ri_x_n, ii_i, ri_x_n)
+        + jnp.einsum("bi,bij,bj->b", rj_x_n, ii_j, rj_x_n)
     )
     dlam = jnp.where(active & (w_sum > 0), pen / jnp.maximum(w_sum, 1e-9), 0.0)
     dlam = dlam * _CONTACT_RELAX
@@ -441,8 +460,8 @@ def _solve_contacts(
     dpos = dpos.at[i].add(imp * wi[:, None])
     dpos = dpos.at[j].add(-imp * wj[:, None])
     drot = jnp.zeros_like(pos)
-    drot = drot.at[i].add(jnp.einsum("bij,bj->bi", inv_inertia_w[i], jnp.cross(ri, imp)))
-    drot = drot.at[j].add(-jnp.einsum("bij,bj->bi", inv_inertia_w[j], jnp.cross(rj, imp)))
+    drot = drot.at[i].add(jnp.einsum("bij,bj->bi", ii_i, jnp.cross(ri, imp)))
+    drot = drot.at[j].add(-jnp.einsum("bij,bj->bi", ii_j, jnp.cross(rj, imp)))
     return pos + dpos, _quat_add_rot(quat, drot)
 
 
