@@ -169,3 +169,46 @@ def test_face_closeup_coverage_vs_color_resolve(scene):
     # mean, bounded fraction of strongly-diverging pixels
     assert d[covered].mean() < 0.02, d[covered].mean()
     assert (d[covered] > 0.15).mean() < 0.05, (d[covered] > 0.15).mean()
+
+
+def test_pair_caps_cover_1080p(scene):
+    """Regression for the r3 capacity bug: at 1080p the TRANSPARENT pass
+    measured 3.70 (bin, tri) pairs per triangle — pair_cap_scale=3.0
+    silently dropped ~13% of that pass's pairs. Assert every pass fits the
+    shipped default with headroom at the bench camera, animated pose."""
+    import dataclasses
+
+    from reze_tpu.kernels import frame_tpu as FT
+    from reze_tpu.render import pipeline_tpu as PT, raster
+    from reze_tpu.render.pipeline import _gather_pass
+
+    cfg, m, track = scene
+    cfg = dataclasses.replace(cfg, width=1920, height=1080)
+    dims = PT.make_dims_fast(cfg)
+    cam = Camera(radius=13.5, target=(0.0, 17.1, 0.0), aspect=1920 / 1080)
+    pos, nrm = _pose_at(m, track, 1.0)
+    vp = cam.view_proj()
+    for cls, cull, outline in PT._PASS_SPECS:
+        data = _gather_pass(m, pos, nrm, vp, cls, outline,
+                            cfg.outline_scale, None)
+        tri = raster.setup_triangles(data.corners_clip, data.valid,
+                                     dims.wp, dims.hp, cull)
+        v = np.asarray(tri.valid)
+        sx, sy = np.asarray(tri.sx), np.asarray(tri.sy)
+        big = 1e9
+        xmin = np.where(v, sx.min(1), big)
+        xmax = np.where(v, sx.max(1), -big)
+        ymin = np.where(v, sy.min(1), big)
+        ymax = np.where(v, sy.max(1), -big)
+        bx, by = dims.wp // FT.TILE_W, dims.hp // FT.TILE_H
+        bx0 = np.clip(np.floor((xmin - .5) / FT.TILE_W), 0, bx - 1)
+        bx1 = np.clip(np.floor((xmax + .5) / FT.TILE_W), 0, bx - 1)
+        by0 = np.clip(np.floor((ymin - .5) / FT.TILE_H), 0, by - 1)
+        by1 = np.clip(np.floor((ymax + .5) / FT.TILE_H), 0, by - 1)
+        live = v & (xmax >= xmin)
+        pairs = int(np.where(live,
+                             (bx1 - bx0 + 1) * (by1 - by0 + 1), 0).sum())
+        t = v.shape[0]
+        cap = -(-int(t * cfg.pair_cap_scale + 1024) // FT.CHUNK) * FT.CHUNK
+        assert pairs <= 0.95 * cap, (
+            f"pass cls={cls} outline={outline}: {pairs} pairs vs cap {cap}")
