@@ -23,6 +23,12 @@ parser.add_argument("--drag", action="store_true",
                     help="demo the rotateBones drag interaction mid-clip")
 args = parser.parse_args()
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the sandbox preregisters the TPU plugin; honor the env override
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from reze_tpu import Engine, EngineConfig  # noqa: E402
 
 MODELS = "/root/reference/web/public"

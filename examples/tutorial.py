@@ -26,6 +26,14 @@ parser.add_argument("--size", type=int, default=384)
 parser.add_argument("--out", default="/tmp/tutorial.png")
 args = parser.parse_args()
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the sandbox preregisters the TPU plugin; honor the env override
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
