@@ -399,9 +399,14 @@ def _select_active_contacts(
     i = tables.pair_i
     j = tables.pair_j
     a0, a1, ra = _shape_segment(pm, pos, quat)
-    c1, c2 = _closest_segment_segment(a0[i], a1[i], a0[j], a1[j])
+    # one packed row gather per side (gather cost is per-index)
+    seg = jnp.concatenate([a0, a1, ra[:, None]], axis=1)  # (N, 7)
+    si = seg[i]
+    sj = seg[j]
+    c1, c2 = _closest_segment_segment(si[:, 0:3], si[:, 3:6],
+                                      sj[:, 0:3], sj[:, 3:6])
     dist = jnp.linalg.norm(c2 - c1, axis=-1)
-    score = (ra[i] + ra[j]) - dist  # signed penetration
+    score = (si[:, 6] + sj[:, 6]) - dist  # signed penetration
     _, top = jax.lax.top_k(score, tables.n_active)
     n_pen = jnp.sum(score > 0.0).astype(jnp.int32)
     dropped = jnp.maximum(n_pen - tables.n_active, 0)
