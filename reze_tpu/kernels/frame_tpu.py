@@ -113,6 +113,45 @@ def pack_pass_rows(
     with_attrs: bool,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One pass -> (rows (cap, ROW_W), starts (B,), counts (B,), overflow)."""
+    tab, bin_id, ok, tri_of_k, total = pack_pass_part(
+        tri, corner_uv, corner_nrm, alpha, is_hair, ramp_gid, tex_gid,
+        edge_gid, by, bx, cap, with_attrs)
+    t = tri.valid.shape[0]
+    # 8-row tiles: a group's triangles share the tile band by construction,
+    # and draw order within a bin is exact (id is the low sort key)
+    b_total = by * bx
+    key = jnp.where(ok, bin_id * (1 << 15) + tri_of_k, b_total << 15)
+    key = jnp.sort(key)
+    pair_bin = key >> 15
+    pair_tri = jnp.where(pair_bin < b_total, key & ((1 << 15) - 1), 0)
+
+    rows = tab[pair_tri]  # (cap, ROW_W) pair-ordered gather
+    # per-bin starts: histogram of pair_bin + exclusive cumsum (same
+    # monotone-searchsorted avoidance as in pack_pass_part)
+    counts_b = jnp.zeros((b_total,), jnp.int32).at[pair_bin].add(
+        1, mode="drop", indices_are_sorted=True)
+    ends = jnp.minimum(jnp.cumsum(counts_b), cap)
+    starts = jnp.minimum(ends - counts_b, cap)
+    return rows, starts, ends - starts, jnp.maximum(total - cap, 0)
+
+
+def pack_pass_part(
+    tri: TriSetup,
+    corner_uv: jax.Array,
+    corner_nrm: jax.Array,
+    alpha: jax.Array,
+    is_hair: jax.Array,
+    ramp_gid: jax.Array,
+    tex_gid: jax.Array,
+    edge_gid: jax.Array,
+    by: int,
+    bx: int,
+    cap: int,
+    with_attrs: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One pass -> (tab (T, ROW_W), bin_id (cap,), ok, tri_of_k, total):
+    the triangle row table + exact pair enumeration, unsorted — feed
+    pack_frame_rows to merge all passes under ONE sort + ONE row gather."""
     t = tri.valid.shape[0]
     inv2a = tri.inv_area2[:, None]
 
@@ -192,23 +231,55 @@ def pack_pass_rows(
     nx_k = jnp.maximum(vals[:, 1], 1)
     bin_y = vals[:, 2] + slot // nx_k
     bin_id = bin_y * bx + (vals[:, 3] + slot % nx_k)
+    return tab, bin_id, ok, tri_of_k, total
 
-    # 8-row tiles: a group's triangles share the tile band by construction,
-    # and draw order within a bin is exact (id is the low sort key)
+
+def pack_frame_rows(parts, by: int, bx: int) -> "FrameTables":
+    """Merge all passes' pair enumerations under ONE sort + ONE row gather.
+
+    ``parts``: per pass, pack_pass_part's (tab, bin_id, ok, tri_of_k,
+    total). Key = ((pass * B + bin) << 15) | tri — pass-major then
+    bin-major, so starts/counts reshape directly to the (N_PASSES, B)
+    layout the megakernel reads and every (pass, bin) segment holds
+    exactly the rows the per-pass sort produced, in the same order.
+    Replaces 7 sorts + 7 gathers + a full-size rows concatenation."""
+    assert len(parts) == N_PASSES
     b_total = by * bx
-    key = jnp.where(ok, bin_id * (1 << 15) + tri_of_k, b_total << 15)
-    key = jnp.sort(key)
-    pair_bin = key >> 15
-    pair_tri = jnp.where(pair_bin < b_total, key & ((1 << 15) - 1), 0)
-
-    rows = tab[pair_tri]  # (cap, ROW_W) pair-ordered gather
-    # per-bin starts: histogram of pair_bin + exclusive cumsum (same
-    # monotone-searchsorted avoidance as above)
-    counts_b = jnp.zeros((b_total,), jnp.int32).at[pair_bin].add(
+    # key packing fits int32 up to b_total < 9362 (4K is 8100)
+    assert (N_PASSES * b_total) < (1 << 16), b_total
+    keys = []
+    offs = []
+    off = 0
+    overflow = jnp.int32(0)
+    for p, (tab, bin_id, ok, tri_of_k, total) in enumerate(parts):
+        keys.append(jnp.where(
+            ok, ((p * b_total + bin_id) << 15) + tri_of_k,
+            jnp.int32((N_PASSES * b_total) << 15)))
+        offs.append(off)
+        off += tab.shape[0]
+        overflow = overflow + jnp.maximum(total - ok.shape[0], 0)
+    tab_all = jnp.concatenate([pp[0] for pp in parts])
+    key = jnp.sort(jnp.concatenate(keys))
+    cap = key.shape[0]
+    sk = key >> 15  # pass * B + bin, sorted
+    live = sk < N_PASSES * b_total
+    tri_id = key & ((1 << 15) - 1)
+    pass_of = jnp.where(live, sk // b_total, 0)
+    row_idx = jnp.where(
+        live, jnp.asarray(offs, jnp.int32)[pass_of] + tri_id, 0)
+    rows = jnp.where(live[:, None], tab_all[row_idx], 0.0)
+    counts = jnp.zeros((N_PASSES * b_total,), jnp.int32).at[sk].add(
         1, mode="drop", indices_are_sorted=True)
-    ends = jnp.minimum(jnp.cumsum(counts_b), cap)
-    starts = jnp.minimum(ends - counts_b, cap)
-    return rows, starts, ends - starts, jnp.maximum(total - cap, 0)
+    ends = jnp.minimum(jnp.cumsum(counts), cap)
+    starts = jnp.minimum(ends - counts, cap)
+    rows_all = jnp.concatenate([rows, jnp.zeros((CHUNK, ROW_W))])
+    return FrameTables(
+        rows=rows_all,
+        rows_t=None,
+        starts=starts.reshape(N_PASSES, b_total),
+        counts=(ends - starts).reshape(N_PASSES, b_total),
+        overflow=overflow,
+    )
 
 
 def _process_group(

@@ -233,12 +233,11 @@ def _build_group_tables(model, cfg, dims, tables, pos, nrm, view_proj, uvs,
                         with_quad=False):
     """Per-pass triangle setup + pair rows -> FrameTables for the grouped
     megakernel (kernels/frame_tpu.py). Pure XLA, so crowds can jax.vmap it
-    over a leading character axis and feed the batched kernel."""
+    over a leading character axis and feed the batched kernel. All 7
+    passes merge under ONE sort + ONE row gather (FT.pack_frame_rows)."""
     from ..kernels import frame_tpu as FT
 
-    rows_l, starts_l, counts_l = [], [], []
-    overflow = jnp.int32(0)
-    offset = 0
+    parts = []
     for cls, cull, outline in _PASS_SPECS:
         data = _gather_pass(model, pos, nrm, view_proj, cls, outline,
                             cfg.outline_scale, uvs)
@@ -250,35 +249,25 @@ def _build_group_tables(model, cfg, dims, tables, pos, nrm, view_proj, uvs,
         cols = tables.push_tab[jnp.maximum(data.tri_mat, 0)]  # (T, 7)
         alpha = cols[:, 1] if outline else cols[:, 0]
         cap = -(-int(t * cfg.pair_cap_scale + 1024) // FT.CHUNK) * FT.CHUNK
-        rows, starts, counts, ofl = FT.pack_pass_rows(
+        parts.append(FT.pack_pass_part(
             tri, data.corner_uv, data.corner_nrm, alpha, cols[:, 2],
             cols[:, 4], cols[:, 5], cols[:, 6],
             dims.hp // FT.TILE_H, dims.wp // FT.TILE_W, cap,
             with_attrs=not outline,
-        )
-        rows_l.append(rows)
-        starts_l.append(starts + offset)
-        counts_l.append(counts)
-        overflow = overflow + ofl
-        offset += cap
-    rows_all = jnp.concatenate(rows_l + [jnp.zeros((FT.CHUNK, FT.ROW_W))])
-    rows_quad = None
+        ))
+    ft = FT.pack_frame_rows(parts, dims.hp // FT.TILE_H,
+                            dims.wp // FT.TILE_W)
     if with_quad:
         # (8, 4 * N) plane-coefficient table: window wi occupies lanes
         # [512 wi, 512 (wi+1)) as [e0 | e1 | e2 | z] blocks of 128 pairs,
         # rows [a; b; c; 0...] — one (1024, 8) @ (8, 512) matmul per sample
         # evaluates every plane of a chunk (mxu rasterizer only)
-        n = rows_all.shape[0]
-        q = rows_all[:, :12].reshape(n // FT.CHUNK, FT.CHUNK, 4, 3)
+        n = ft.rows.shape[0]
+        q = ft.rows[:, :12].reshape(n // FT.CHUNK, FT.CHUNK, 4, 3)
         q = q.transpose(3, 0, 2, 1).reshape(3, n * 4)
-        rows_quad = jnp.concatenate([q, jnp.zeros((5, n * 4))], axis=0)
-    return FT.FrameTables(
-        rows=rows_all,
-        rows_t=rows_quad,
-        starts=jnp.stack(starts_l),
-        counts=jnp.stack(counts_l),
-        overflow=overflow,
-    )
+        ft = ft._replace(rows_t=jnp.concatenate(
+            [q, jnp.zeros((5, n * 4))], axis=0))
+    return ft
 
 
 def _build_stream_tables(model, cfg, dims, tables, pos, nrm, view_proj, uvs):
