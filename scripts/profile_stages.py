@@ -90,31 +90,9 @@ def pose(model, t):
 
 
 def build_tables(model, pos, nrm):
-    rows_l, starts_l, counts_l = [], [], []
-    offset = 0
-    for cls, cull, outline in PASS_SPECS:
-        data = _gather_pass(model, pos, nrm, vp, cls, outline,
-                            cfg.outline_scale, None)
-        t = data.valid.shape[0]
-        tri = raster.setup_triangles(data.corners_clip, data.valid, dims.wp,
-                                     dims.hp, cull)
-        cols = tables.push_tab[jnp.maximum(data.tri_mat, 0)]
-        alpha = cols[:, 1] if outline else cols[:, 0]
-        cap = -(-int(t * cfg.pair_cap_scale + 1024) // FT.CHUNK) * FT.CHUNK
-        rows, starts, counts, ofl = FT.pack_pass_rows(
-            tri, data.corner_uv, data.corner_nrm, alpha, cols[:, 2],
-            cols[:, 4], cols[:, 5], cols[:, 6],
-            dims.hp // FT.TILE_H, dims.wp // FT.TILE_W, cap,
-            with_attrs=not outline,
-        )
-        rows_l.append(rows)
-        starts_l.append(starts + offset)
-        counts_l.append(counts)
-        offset += cap
-    rows_all = jnp.concatenate(rows_l + [jnp.zeros((FT.CHUNK, FT.ROW_W))])
-    return FT.FrameTables(rows=rows_all, rows_t=None,
-                          starts=jnp.stack(starts_l),
-                          counts=jnp.stack(counts_l), overflow=jnp.int32(0))
+    """Production pack: merged single-sort FrameTables (pipeline_tpu)."""
+    return PT._build_group_tables(model, cfg, dims, tables, pos, nrm, vp,
+                                  None)
 
 
 def stage_fn(level):
