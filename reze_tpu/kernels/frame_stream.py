@@ -115,6 +115,10 @@ def pack_stream(
 ) -> StreamTables:
     """Merge per-pass (bin, tri) pair enumerations into one sorted stream."""
     b_total = by * bx
+    # key layout: ((bin*8 + pass) << 15) + tri must fit int32 — the sentinel
+    # (b_total*8) << 15 is the largest key (mirrors pack_pass_rows' bound)
+    assert (b_total * 8) < (1 << 16), (
+        f"render target too large for the stream sort key: {b_total} bins")
     keys = []
     row_of_tri_offsets = []
     overflow = jnp.int32(0)

@@ -116,7 +116,6 @@ def pack_pass_rows(
     tab, bin_id, ok, tri_of_k, total = pack_pass_part(
         tri, corner_uv, corner_nrm, alpha, is_hair, ramp_gid, tex_gid,
         edge_gid, by, bx, cap, with_attrs)
-    t = tri.valid.shape[0]
     # 8-row tiles: a group's triangles share the tile band by construction,
     # and draw order within a bin is exact (id is the low sort key)
     b_total = by * bx

@@ -272,7 +272,10 @@ def _shade_layer(
     out_ref[base + O_LB] = lit_b
     out_ref[base + O_RIM] = rim
     out_ref[base + O_TEX] = texsel
-    out_ref[base + O_DXDY] = dx + dy  # dy is stride-scaled; dx in {0,1}
+    # dy is stride-scaled (0 or the level/atlas row stride, possibly ODD
+    # for non-POT mip levels); dx in {0,1}. Scale dy by 2 so the decoders'
+    # dx = mod(dxdy, 2) stays exact for odd strides (advisor r3 medium).
+    out_ref[base + O_DXDY] = dx + 2.0 * dy
     out_ref[base + O_FX] = fx
     out_ref[base + O_FY] = fy
 

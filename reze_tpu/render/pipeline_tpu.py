@@ -46,7 +46,7 @@ def _fetch_albedo(atlas_flat, o, base, dims, *, bilinear: bool, half_res: bool):
     fx = o[base + ST.O_FX]
     fy = o[base + ST.O_FY]
     dx = jnp.mod(dxdy, 2.0)
-    dy = dxdy - dx
+    dy = (dxdy - dx) * 0.5
     valid = tex >= 0.0
 
     def g(idx_f):
@@ -110,7 +110,7 @@ def _albedo_u32(atlas_u8, o, base, dims, *, half_res: bool) -> jax.Array:
     fx = o[base + ST.O_FX]
     fy = o[base + ST.O_FY]
     dx = jnp.mod(dxdy, 2.0)
-    dy = dxdy - dx
+    dy = (dxdy - dx) * 0.5
     near = tex + jnp.where(fx > 0.5, dx, 0.0) + jnp.where(fy > 0.5, dy, 0.0)
     idx = jnp.maximum(near, 0.0).astype(jnp.int32)
 

@@ -13,7 +13,8 @@ import numpy as np
 from .core import types as T
 
 
-def make_test_model(n_bones: int = 8, j_pad: int = 8, v_pad: int = 64) -> T.ModelArrays:
+def make_test_model(n_bones: int = 8, j_pad: int = 8, v_pad: int = 64,
+                    tex_hw: tuple[int, int] = (8, 8)) -> T.ModelArrays:
     import jax
 
     j = j_pad
@@ -111,13 +112,16 @@ def make_test_model(n_bones: int = 8, j_pad: int = 8, v_pad: int = 64) -> T.Mode
         is_transparent=np.array([False, False, False, True]),
     )
     # smooth gradient texture (random noise would exaggerate the
-    # nearest-vs-bilinear difference between renderer paths)
-    gy, gx = np.meshgrid(np.linspace(60, 220, 8), np.linspace(40, 240, 8), indexing="ij")
-    texels = np.stack([gx, gy, 0.5 * (gx + gy), np.full((8, 8), 255.0)], -1)[None]
+    # nearest-vs-bilinear difference between renderer paths); tex_hw lets
+    # tests use non-power-of-two sizes (odd mip strides, advisor r3)
+    th, tw = tex_hw
+    gy, gx = np.meshgrid(np.linspace(60, 220, th), np.linspace(40, 240, tw),
+                         indexing="ij")
+    texels = np.stack([gx, gy, 0.5 * (gx + gy), np.full((th, tw), 255.0)], -1)[None]
     from .core.build import build_mip_chain
 
     tex_u8 = texels.astype(np.uint8)
-    tex_sizes = np.array([[8, 8]], np.int32)
+    tex_sizes = np.array([[th, tw]], np.int32)
     mip_flat, mip_base = build_mip_chain(tex_u8, tex_sizes)
     atlas = T.TextureAtlas(texels=tex_u8, sizes=tex_sizes,
                            mip_flat=mip_flat, mip_base=mip_base)

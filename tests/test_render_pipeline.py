@@ -192,6 +192,48 @@ def test_pair_overflow_detected():
     assert int(tabs.overflow) == 8192 * 32 - 2 * RT.MAX_TRIS_PER_CALL
 
 
+def test_non_pot_texture_parity():
+    """Odd texture/mip strides must decode correctly from the packed
+    O_DXDY channel (advisor r3: dxdy = dx + 2*dy so mod-2 stays exact for
+    odd dy strides — an 11-wide texture has odd strides at levels 0 and 1).
+    Renders the Pallas fast path with a 7x11 texture against the XLA oracle
+    (mips off), then checks the mip path stays close to the level-0 path."""
+    import dataclasses
+
+    from reze_tpu.kernels.skinning import skin_vertices
+    from reze_tpu.skeleton import fk
+
+    model = make_test_model(tex_hw=(7, 11))
+    cfg = EngineConfig(width=128, height=64, tile_size=64, max_tris_per_bin=16,
+                       enable_bloom=False, albedo_half_visible=False,
+                       albedo_half_occluded=False, albedo_mips=False)
+    cam = Camera(alpha=np.pi, beta=np.pi / 2, radius=4.5,
+                 target=(0.0, 2.0, 0.0), aspect=2.0)
+    skel = model.skeleton
+    rot = jnp.zeros((skel.j, 4)).at[:, 3].set(1.0)
+    q, p = fk.world_transforms(skel, rot, jnp.zeros((skel.j, 3)))
+    pos, nrm = skin_vertices(model.geometry, model.skinning,
+                             fk.skin_palette(skel, q, p))
+    lights = pipeline.make_lights(cfg)
+    s = dict(model=model, cfg=cfg, cam=cam, pos=pos, nrm=nrm, lights=lights)
+
+    ref = np.asarray(render_xla(s))
+    fast = np.asarray(render_fast(s))
+    covered = (ref.sum(-1) > 0.01) | (fast.sum(-1) > 0.01)
+    assert covered.sum() > 100
+    diff = np.abs(ref - fast).max(-1)
+    frac_bad = (diff[covered] > 0.12).mean()
+    assert frac_bad < 0.15, frac_bad
+
+    # mip chain on, 1:1-ish sampling -> level 0/1 dominate; odd level-1
+    # width (5) exercises the mip branch's encoding
+    s_mip = dict(s, cfg=dataclasses.replace(cfg, albedo_mips=True))
+    mip = np.asarray(render_fast(s_mip))
+    diff_m = np.abs(mip - fast).max(-1)
+    frac_bad_m = (diff_m[covered] > 0.15).mean()
+    assert frac_bad_m < 0.2, frac_bad_m
+
+
 def test_analytic_aa_close_to_msaa(scene):
     """msaa_mode="analytic" (one center depth test + fractional coverage
     from exact edge distances) vs the 4x MSAA megakernel. The modes agree
