@@ -49,12 +49,19 @@ class EngineConfig:
     camera_near: float = 0.05
     camera_far: float = 1000.0
     msaa_samples: int = 4
-    # anti-aliasing mode for the Pallas megakernel paths: "msaa" = per-sample
-    # depth tests with coverage-to-alpha (reference parity, engine.ts:72);
-    # "analytic" = ONE center depth test + fractional coverage from exact
-    # edge distances (~40% of the raster row work is the 4x sample loop —
-    # docs/DESIGN.md cost model). Silhouette blending differs by <1 sample
-    # quantum; intersecting-silhouette divergence is bounded by
+    # anti-aliasing mode for the Pallas megakernel paths: "analytic" = ONE
+    # center depth test + fractional coverage from exact edge distances;
+    # "msaa" = per-sample depth tests with coverage-to-alpha (the
+    # reference's multisample-target setup, engine.ts:72). Analytic is the
+    # default because it is BOTH faster (the 4x sample loop is ~2.5 ms of
+    # the 1080p megakernel, measured r4) and CLOSER to the reference's true
+    # per-sample color resolve: coverage-to-alpha lets an occluded
+    # silhouette fragment that passes one off-center depth sample blend the
+    # occluded layer through (the r3 close-up ghosting, PARITY.md), while
+    # analytic's single center depth test rejects such fragments outright —
+    # bounded against the msaa_resolve="color" oracle by
+    # tests/test_golden_real.py::test_closeup_production_vs_color_oracle.
+    # Divergence from 4x MSAA is bounded by
     # tests/test_render_pipeline.py::test_analytic_aa_close_to_msaa.
     msaa_mode: str = "msaa"
     # MSAA resolve on the XLA reference path: "coverage" folds sample
@@ -73,6 +80,11 @@ class EngineConfig:
     # static per-substep active-contact budget (top-k of candidate pairs);
     # saturation is counted and surfaced via Engine.get_stats
     physics_max_contacts: int = 512
+    # fraction of a joint limit/lock violation corrected per substep —
+    # Bullet's BT_CONSTRAINT_STOP_ERP, set to 0.475 on all 6 axes by the
+    # reference (physics.ts:383-385). 1.0 = full XPBD enforcement (stiffer
+    # than Bullet)
+    physics_stop_erp: float = 0.475
     enable_physics: bool = True
     enable_ik: bool = True
     enable_bloom: bool = True

@@ -124,11 +124,27 @@ class SolverTables(NamedTuple):
     has_ang_spring: bool
 
 
-_TABLE_CACHE: dict[int, SolverTables] = {}
+_TABLE_CACHE: dict[tuple, SolverTables] = {}
+
+
+def _tables_key(pm: PhysicsModel, max_contacts: int) -> tuple:
+    """Content hash over every array that color_joints / build_pairs /
+    the spring flags read — id()-keyed caching could return stale tables
+    after the original arrays were garbage-collected (advisor r3)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for a in (pm.joint_body_a, pm.joint_body_b, pm.joint_valid,
+              pm.joint_spring_lin, pm.joint_spring_ang, pm.is_dynamic,
+              pm.group, pm.collision_mask, pm.valid, pm.no_contact):
+        arr = np.ascontiguousarray(np.asarray(a))
+        h.update(str(arr.shape).encode())
+        h.update(arr.tobytes())
+    return (h.hexdigest(), max_contacts)
 
 
 def get_tables(pm: PhysicsModel, max_contacts: int = 512) -> SolverTables:
-    key = (id(pm.joint_body_a), max_contacts)
+    key = _tables_key(pm, max_contacts)
     if key not in _TABLE_CACHE:
         colors = color_joints(pm)
         valid = np.asarray(pm.joint_valid)
@@ -247,13 +263,51 @@ def _apply_pos_correction(pos, quat, inv_mass, inv_inertia_w, body, corr, point)
 
 def _inv_inertia_world(pm: PhysicsModel, quat: Array) -> Array:
     r = m3.mat3_from_quat(quat)  # (NB, 3, 3)
-    return jnp.einsum("bij,bj,bkj->bik", r, pm.inv_inertia_local, r)
+    # kinematic/static bodies must not respond to angular impulses: an
+    # unmasked inverse inertia let joint corrections ROTATE the static
+    # anchor a hair chain hangs from (the chain then pivots around its
+    # root — r4 hair-oracle divergence root cause). Bullet zeroes the
+    # inverse inertia tensor of non-dynamic bodies the same way.
+    inv_i = jnp.where((pm.is_dynamic & pm.valid)[:, None],
+                      pm.inv_inertia_local, 0.0)
+    return jnp.einsum("bij,bj,bkj->bik", r, inv_i, r)
 
 
 def _quat_add_rot(quat: Array, dw: Array) -> Array:
     """q += 0.5 * [dw, 0] * q, renormalized."""
     dq = m3.quat_mul(jnp.concatenate([dw, jnp.zeros_like(dw[..., :1])], -1), quat)
     return m3.quat_normalize(quat + 0.5 * dq)
+
+
+def _joint_violations(js: JointSlice, pos: Array, quat: Array
+                      ) -> tuple[Array, Array]:
+    """Raw limit/lock violations of one joint slice at the given state:
+    (lin (NJ, 3) in frame-A axes, ang (NJ, 3) ZXY euler beyond [min, max]).
+    Used once per substep to build the stop-ERP slack (Bullet corrects only
+    BT_CONSTRAINT_STOP_ERP = 0.475 of a limit violation per step,
+    physics.ts:383-385; solving to zero would make hair stiffer than the
+    reference)."""
+    pos_a, quat_a = pos[jnp.maximum(js.a, 0)], quat[jnp.maximum(js.a, 0)]
+    pos_b, quat_b = pos[jnp.maximum(js.b, 0)], quat[jnp.maximum(js.b, 0)]
+    pa = pos_a + m3.quat_rotate(quat_a, js.pos_a)
+    pb = pos_b + m3.quat_rotate(quat_b, js.pos_b)
+    qa = m3.quat_mul(quat_a, js.quat_a)
+    qb = m3.quat_mul(quat_b, js.quat_b)
+    axes = jnp.swapaxes(m3.mat3_from_quat(qa), -1, -2)
+    d_axes = jnp.einsum("bkw,bw->bk", axes, pb - pa)
+    lin = jnp.where(d_axes < js.lin_min, d_axes - js.lin_min,
+                    jnp.where(d_axes > js.lin_max, d_axes - js.lin_max, 0.0))
+    e = m3.quat_to_euler_zxy(m3.quat_mul(m3.quat_conj(qa), qb))
+    ang = jnp.where(e < js.ang_min, e - js.ang_min,
+                    jnp.where(e > js.ang_max, e - js.ang_max, 0.0))
+    return lin, ang
+
+
+def _apply_slack(viol: Array, slack: Array) -> Array:
+    """Shrink a violation toward zero by the substep's stop-ERP slack,
+    never crossing zero (once the target is reached, no further pull)."""
+    adj = viol - slack
+    return jnp.where(adj * jnp.sign(viol) > 0.0, adj, 0.0)
 
 
 def _solve_joints_slice(
@@ -265,6 +319,7 @@ def _solve_joints_slice(
     inv_inertia_w: Array,
     has_lin_spring: bool,
     has_ang_spring: bool,
+    slack: tuple[Array, Array] | None = None,
 ) -> tuple[Array, Array]:
     """Solve one color class of joints (contiguous slice) in parallel.
 
@@ -309,6 +364,8 @@ def _solve_joints_slice(
     hi = js.lin_max
     # hard violation outside [lo, hi]
     viol = jnp.where(d_axes < lo, d_axes - lo, jnp.where(d_axes > hi, d_axes - hi, 0.0))
+    if slack is not None:
+        viol = _apply_slack(viol, slack[0])
     lin_solves = [(viol, None)]
     if has_lin_spring:
         # spring toward 0 with compliance 1/(k h^2)
@@ -355,6 +412,8 @@ def _solve_joints_slice(
     e = m3.quat_to_euler_zxy(q_rel)  # (NJ, 3)
     aviol = jnp.where(e < js.ang_min, e - js.ang_min,
                       jnp.where(e > js.ang_max, e - js.ang_max, 0.0))
+    if slack is not None:
+        aviol = _apply_slack(aviol, slack[1])
     ang_solves = [(aviol, None)]
     if has_ang_spring:
         k_ang = js.spring_ang
@@ -384,6 +443,114 @@ def _solve_joints_slice(
     pos = pos + dpos
     quat = _quat_add_rot(quat, dq_acc)
     return pos, quat
+
+
+def _joint_velocity_slice(
+    js: JointSlice,
+    vel: Array,
+    ang: Array,
+    pos: Array,
+    quat: Array,
+    inv_mass: Array,
+    inv_inertia_w: Array,
+) -> tuple[Array, Array]:
+    """Bullet's constraint-row velocity solve for one color slice: zero the
+    RELATIVE VELOCITY along every locked or limit-violating joint axis.
+
+    btSequentialImpulseConstraintSolver solves rows at the velocity level —
+    the impulse both stops relative motion AND adds the stop-ERP bias; only
+    the bias is erp-scaled. The XPBD position solve with stop-ERP slack
+    (_apply_slack) reproduces the positional 47.5%%/step correction but
+    leaves the residual motion in the reconstructed velocities, so joints
+    ring like undamped springs where Bullet's come to rest. This pass adds
+    the missing "stop": after the velocity reconstruction, project out
+    joint-space relative velocity (full for locked axes, one-sided into the
+    violation for limits). Springs are untouched (they are forces, not
+    stops). Reference rows: physics.ts:383-431.
+    """
+    a = jnp.maximum(js.a, 0)
+    b = jnp.maximum(js.b, 0)
+    state_tab = jnp.concatenate(
+        [pos, quat, inv_mass[:, None],
+         inv_inertia_w.reshape(pos.shape[0], 9), vel, ang], axis=1)  # (N, 23)
+    row_a = state_tab[a]
+    row_b = state_tab[b]
+    pos_a, quat_a = row_a[:, 0:3], row_a[:, 3:7]
+    pos_b, quat_b = row_b[:, 0:3], row_b[:, 3:7]
+    wa, wb = row_a[:, 7], row_b[:, 7]
+    ii_a = row_a[:, 8:17].reshape(-1, 3, 3)
+    ii_b = row_b[:, 8:17].reshape(-1, 3, 3)
+    va, vb = row_a[:, 17:20], row_b[:, 17:20]
+    oa, ob = row_a[:, 20:23], row_b[:, 20:23]
+
+    pa = pos_a + m3.quat_rotate(quat_a, js.pos_a)
+    pb = pos_b + m3.quat_rotate(quat_b, js.pos_b)
+    qa = m3.quat_mul(quat_a, js.quat_a)
+    qb = m3.quat_mul(quat_b, js.quat_b)
+    frame_a_rot = m3.mat3_from_quat(qa)
+    axes = jnp.swapaxes(frame_a_rot, -1, -2)  # (NJ, 3axes, 3world)
+    d_axes = jnp.einsum("bkw,bw->bk", axes, pb - pa)
+
+    ra = pa - pos_a
+    rb = pb - pos_b
+    u_lin = (vb + jnp.cross(ob, rb)) - (va + jnp.cross(oa, ra))  # (NJ, 3)
+
+    dv = jnp.zeros_like(pos)
+    dw = jnp.zeros_like(pos)
+    imp_b = jnp.zeros_like(pa)
+    imp_a = jnp.zeros_like(pa)
+    tq_b = jnp.zeros_like(pa)
+    tq_a = jnp.zeros_like(pa)
+
+    eps = 1e-6
+    for axis_k in range(3):
+        n = axes[:, axis_k]
+        un = jnp.einsum("bw,bw->b", n, u_lin)
+        lo = js.lin_min[:, axis_k]
+        hi = js.lin_max[:, axis_k]
+        locked = (hi - lo) < eps
+        # one-sided for limits: stop only motion deeper into the violation
+        active = locked | ((d_axes[:, axis_k] >= hi) & (un > 0.0)) \
+            | ((d_axes[:, axis_k] <= lo) & (un < 0.0))
+        ra_x_n = jnp.cross(ra, n)
+        rb_x_n = jnp.cross(rb, n)
+        w_sum = (
+            wa + wb
+            + jnp.einsum("bi,bij,bj->b", ra_x_n, ii_a, ra_x_n)
+            + jnp.einsum("bi,bij,bj->b", rb_x_n, ii_b, rb_x_n)
+        )
+        dlam = jnp.where(active & (w_sum > 0), -un / jnp.maximum(w_sum, 1e-9),
+                         0.0)
+        p_imp = n * dlam[:, None]
+        imp_b = imp_b + p_imp * wb[:, None]
+        imp_a = imp_a - p_imp * wa[:, None]
+        tq_b = tq_b + jnp.einsum("bij,bj->bi", ii_b, jnp.cross(rb, p_imp))
+        tq_a = tq_a - jnp.einsum("bij,bj->bi", ii_a, jnp.cross(ra, p_imp))
+
+    q_rel = m3.quat_mul(m3.quat_conj(qa), qb)
+    e = m3.quat_to_euler_zxy(q_rel)
+    w_rel = ob - oa
+    for axis_k in range(3):
+        n = axes[:, axis_k]
+        un = jnp.einsum("bw,bw->b", n, w_rel)
+        lo = js.ang_min[:, axis_k]
+        hi = js.ang_max[:, axis_k]
+        locked = (hi - lo) < eps
+        active = locked | ((e[:, axis_k] >= hi) & (un > 0.0)) \
+            | ((e[:, axis_k] <= lo) & (un < 0.0))
+        w_sum = (
+            jnp.einsum("bi,bij,bj->b", n, ii_a, n)
+            + jnp.einsum("bi,bij,bj->b", n, ii_b, n)
+        )
+        dlam = jnp.where(active & (w_sum > 0), -un / jnp.maximum(w_sum, 1e-9),
+                         0.0)
+        t_imp = n * dlam[:, None]
+        tq_b = tq_b + jnp.einsum("bij,bj->bi", ii_b, t_imp)
+        tq_a = tq_a - jnp.einsum("bij,bj->bi", ii_a, t_imp)
+
+    dv = dv.at[b].add(imp_b).at[a].add(imp_a)
+    dw = dw.at[b].add(tq_b).at[a].add(tq_a)
+    return vel + dv, ang + dw
 
 
 def _select_active_contacts(
@@ -678,14 +845,28 @@ def step(
         act_i, act_j, dropped = _select_active_contacts(pm, tables, p1, q1)
         sat = jnp.maximum(sat, dropped)
 
+        # stop-ERP slack: Bullet corrects only erp (0.475) of a limit/lock
+        # violation per substep (BT_CONSTRAINT_STOP_ERP, physics.ts:383-385);
+        # the iterations below converge to the erp-scaled target instead of
+        # full enforcement. The slack is measured once from the integrated
+        # (pre-solve) state, mirroring Bullet's bias-from-pre-solve-error.
+        erp = cfg.physics_stop_erp
+        if erp < 1.0:
+            slacks = []
+            for js in slices:
+                v_lin, v_ang = _joint_violations(js, p1, q1)
+                slacks.append(((1.0 - erp) * v_lin, (1.0 - erp) * v_ang))
+        else:
+            slacks = [None] * len(slices)
+
         # constraint solve
         def solver_iter(_, pq):
             p, q = pq
             ii_w = _inv_inertia_world(pm, q)
-            for js in slices:
+            for js, sl in zip(slices, slacks):
                 p, q = _solve_joints_slice(
                     js, h, p, q, inv_mass, ii_w,
-                    tables.has_lin_spring, tables.has_ang_spring,
+                    tables.has_lin_spring, tables.has_ang_spring, slack=sl,
                 )
             p, q = _solve_contacts(pm, act_i, act_j, p, q, inv_mass, ii_w)
             return (p, q)
@@ -697,6 +878,16 @@ def step(
         v2 = jnp.where(dyn, (p2 - prev_pos) / h, v)
         dq = m3.quat_mul(q2, m3.quat_conj(prev_quat))
         w2 = jnp.where(dyn, 2.0 * dq[:, :3] / h * jnp.sign(dq[:, 3:4]), w)
+        # joint velocity stop (Bullet rows are velocity-level: the impulse
+        # zeroes joint-space relative velocity every step; only the bias is
+        # erp-scaled — see _joint_velocity_slice)
+        ii2 = _inv_inertia_world(pm, q2)
+        v2s, w2s = v2, w2
+        for js in slices:
+            v2s, w2s = _joint_velocity_slice(
+                js, v2s, w2s, p2, q2, inv_mass, ii2)
+        v2 = jnp.where(dyn, v2s, v2)
+        w2 = jnp.where(dyn, w2s, w2)
         # velocity pass: contact friction + restitution (physics.ts:242-243)
         v3, w3 = _contact_velocity_pass(
             pm, act_i, act_j, p2, q2, v2, w2, v, w, inv_mass,

@@ -7,13 +7,19 @@ bound the divergence of the TPU XPBD solver against Bullet-style dynamics
 (VERDICT r2 weak #6: parity was plausibility-only).
 
 Scope: the MMD-dominant joint configuration — linear axes hard-locked
-(min == max == 0 -> a point-to-point constraint at the joint frame) with
-wide-open angular limits — plus gravity, Bullet damping
+(min == max == 0 -> a point-to-point constraint at the joint frame),
+ANGULAR LIMITS and ANGULAR SPRINGS (the btGeneric6DofSpringConstraint
+rows MMD hair actually lives in, physics.ts:383-431: limits from the PMX
+joint, springs always enabled) — plus gravity, Bullet damping
 (v *= (1 - d)^h), and the stepSimulation(dt, maxSubSteps=10, fixed=1/75)
 accumulator. The constraint solve is velocity-level sequential impulse
 with Baumgarte stabilization (bias = erp/h * C), iterated Gauss-Seidel
 like btSequentialImpulseConstraintSolver; the 3 linear rows of each joint
 solve as one 3x3 block (equivalent to row-wise GS at convergence).
+Angular rows solve per constraint-frame axis: locked axes (min == max)
+as equality rows, violated limits as one-sided rows, springs as explicit
+restoring torques tau = -k * theta (Hooke's law, the semantics of
+btGeneric6DofSpringConstraint's per-step spring motor).
 """
 
 from __future__ import annotations
@@ -25,6 +31,10 @@ def _quat_rotate(q, v):
     x, y, z, w = q
     u = np.array([x, y, z])
     return v + 2.0 * np.cross(u, np.cross(u, v) + w * v)
+
+
+def _quat_conj(q):
+    return np.array([-q[0], -q[1], -q[2], q[3]])
 
 
 def _quat_mul(a, b):
@@ -61,13 +71,42 @@ def _quat_to_mat(q):
     ])
 
 
+def _euler_zxy(q):
+    """ZXY Euler decomposition (the MMD/left-handed convention shared by
+    math.ts quatToEuler and reze_tpu.core.math3d.quat_to_euler_zxy).
+    For single-axis rotations every convention agrees; tests that exercise
+    multi-axis relative rotations keep angles small so convention skew
+    stays inside the tolerance band."""
+    x, y, z, w = q
+    # rotation matrix columns
+    m00 = 1 - 2 * (y * y + z * z)
+    m01 = 2 * (x * y - z * w)
+    m02 = 2 * (x * z + y * w)
+    m10 = 2 * (x * y + z * w)
+    m11 = 1 - 2 * (x * x + z * z)
+    m12 = 2 * (y * z - x * w)
+    m20 = 2 * (x * z - y * w)
+    m21 = 2 * (y * z + x * w)
+    m22 = 1 - 2 * (x * x + y * y)
+    sx = np.clip(-m12, -1.0, 1.0)
+    ex = np.arcsin(sx)
+    if abs(sx) < 0.9999:
+        ey = np.arctan2(m02, m22)
+        ez = np.arctan2(m10, m11)
+    else:
+        ey = np.arctan2(-m20, m00)
+        ez = 0.0
+    return np.array([ex, ey, ez])
+
+
 class OracleWorld:
-    """Bodies with point-to-point joints, sequential-impulse solved."""
+    """Bodies with 6-DOF joints (locked linear + angular limits/springs),
+    sequential-impulse solved."""
 
     def __init__(self, pos, quat, inv_mass, inv_inertia_diag, lin_damp,
                  ang_damp, joints, gravity=(0.0, -98.0, 0.0),
                  fixed_h=1.0 / 75.0, max_substeps=10, iterations=10,
-                 erp=0.475):
+                 erp=0.475, ang_joints=None):
         self.x = np.array(pos, np.float64)
         self.q = np.array(quat, np.float64)
         self.v = np.zeros_like(self.x)
@@ -84,6 +123,10 @@ class OracleWorld:
         self.ang_damp = np.array(ang_damp, np.float64)
         # joints: list of (body_a, body_b, anchor_a_local, anchor_b_local)
         self.joints = joints
+        # ang_joints: per joint (or None) a dict with 'ang_min', 'ang_max',
+        # 'k_ang' (3,) arrays — constraint frames assumed aligned with the
+        # body frames (identity joint frames, the synthetic-chain setup)
+        self.ang_joints = ang_joints or [None] * len(joints)
         self.g = np.array(gravity, np.float64)
         self.h = fixed_h
         self.max_sub = max_substeps
@@ -110,9 +153,28 @@ class OracleWorld:
         self.v[dyn] *= np.clip(1.0 - self.lin_damp[dyn, None], 0, 1) ** h
         self.w[dyn] *= np.clip(1.0 - self.ang_damp[dyn, None], 0, 1) ** h
 
+        # angular springs: explicit Hooke restoring torque about the
+        # constraint-frame axes (btGeneric6DofSpringConstraint semantics:
+        # force = -delta * stiffness, applied each step)
+        for (a, b, la, lb), aj in zip(self.joints, self.ang_joints):
+            if aj is None or not np.any(aj["k_ang"] > 0):
+                continue
+            q_rel = _quat_mul(_quat_conj(self.q[a]), self.q[b])
+            e = _euler_zxy(q_rel)
+            r_a = _quat_to_mat(self.q[a])
+            ia = self._inv_inertia_world(a)
+            ib = self._inv_inertia_world(b)
+            for i in range(3):
+                k_i = aj["k_ang"][i]
+                if k_i <= 0:
+                    continue
+                tau = -k_i * e[i] * r_a[:, i]
+                self.w[b] += ib @ tau * h
+                self.w[a] -= ia @ tau * h
+
         # sequential impulse with Baumgarte bias from current position error
         pre = []
-        for (a, b, la, lb) in self.joints:
+        for (a, b, la, lb), aj in zip(self.joints, self.ang_joints):
             ra = _quat_rotate(self.q[a], la)
             rb = _quat_rotate(self.q[b], lb)
             c_err = (self.x[b] + rb) - (self.x[a] + ra)
@@ -121,10 +183,27 @@ class OracleWorld:
             k = (self.inv_m[a] + self.inv_m[b]) * np.eye(3) \
                 - _skew(ra) @ ia @ _skew(ra) \
                 - _skew(rb) @ ib @ _skew(rb)
-            pre.append((ra, rb, c_err, ia, ib, np.linalg.inv(k)))
+            # angular rows: per constraint-frame axis, the violation beyond
+            # [min, max] (equality when min == max) solved as a 1-DOF row
+            ang_rows = []
+            if aj is not None:
+                q_rel = _quat_mul(_quat_conj(self.q[a]), self.q[b])
+                e = _euler_zxy(q_rel)
+                r_a = _quat_to_mat(self.q[a])
+                for i in range(3):
+                    lo, hi = aj["ang_min"][i], aj["ang_max"][i]
+                    c_i = (e[i] - lo if e[i] < lo
+                           else e[i] - hi if e[i] > hi else 0.0)
+                    if c_i == 0.0 and lo != hi:
+                        continue
+                    u = r_a[:, i]
+                    k_ang = u @ (ia + ib) @ u
+                    if k_ang > 1e-12:
+                        ang_rows.append((u, c_i, 1.0 / k_ang))
+            pre.append((ra, rb, c_err, ia, ib, np.linalg.inv(k), ang_rows))
         for _ in range(self.iters):
-            for (a, b, la, lb), (ra, rb, c_err, ia, ib, kinv) in zip(
-                    self.joints, pre):
+            for (a, b, la, lb), (ra, rb, c_err, ia, ib, kinv, ang_rows) in \
+                    zip(self.joints, pre):
                 u = (self.v[b] + np.cross(self.w[b], rb)) \
                     - (self.v[a] + np.cross(self.w[a], ra))
                 bias = (self.erp / h) * c_err
@@ -133,6 +212,11 @@ class OracleWorld:
                 self.w[a] -= ia @ np.cross(ra, p)
                 self.v[b] += p * self.inv_m[b]
                 self.w[b] += ib @ np.cross(rb, p)
+                for (ax, c_i, kinv_a) in ang_rows:
+                    wd = ax @ (self.w[b] - self.w[a])
+                    lam = -(wd + (self.erp / h) * c_i) * kinv_a
+                    self.w[a] -= ia @ (ax * lam)
+                    self.w[b] += ib @ (ax * lam)
 
         # integrate
         self.x[dyn] += self.v[dyn] * h

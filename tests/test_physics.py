@@ -88,18 +88,36 @@ def test_pendulum_hangs_at_joint_distance():
 
 
 def test_angular_spring_resists_swing():
-    # stiff angular spring holds the bob near the straight-down rest pose of
-    # the joint frame instead of swinging freely
-    pm_soft = make_pm(spring_ang=0.0)
-    pm_stiff = make_pm(spring_ang=500.0)
+    """A stiff angular spring suppresses the RELATIVE ANGLE between the
+    joint bodies — the observable the spring actually acts on. (The bob's
+    world-x offset is dominated by the stop-ERP-softened linear lock
+    (physics_stop_erp=0.475, Bullet's BT_CONSTRAINT_STOP_ERP on all six
+    axes, physics.ts:383-385), which the angular spring cannot influence;
+    the old single-snapshot x comparison was phase-dependent and flipped
+    sign run to run.)"""
+    from reze_tpu.core import math3d as m3
+
     wq = jnp.zeros((2, 4)).at[:, 3].set(1.0)
     wp = jnp.asarray([[0.0, 10.0, 0.0], [1.5, 9.0, 0.0]])  # strongly displaced
-    _, _, st_soft = run_steps(pm_soft, wq, wp, 30)
-    _, _, st_stiff = run_steps(pm_stiff, wq, wp, 30)
-    # stiff spring pulls x offset toward the frame alignment faster
-    x_soft = abs(float(st_soft.position[1, 0]))
-    x_stiff = abs(float(st_stiff.position[1, 0]))
-    assert x_stiff < x_soft
+
+    def settled_angle(spring_ang):
+        pm = make_pm(spring_ang=spring_ang)
+        pm = jax.tree.map(jnp.asarray, pm)
+        cfg = EngineConfig()
+        st = init_state(2)
+        stepf = jax.jit(
+            lambda s: solver.step(cfg, pm, s, jnp.float32(1 / 60), wq, wp))
+        angles = []
+        for _ in range(90):
+            _, _, st = stepf(st)
+            q_rel = m3.quat_mul(m3.quat_conj(st.quat[0]), st.quat[1])
+            angles.append(float(jnp.abs(m3.quat_to_euler_zxy(q_rel)).max()))
+        return np.mean(angles[60:])
+
+    e_soft = settled_angle(0.0)
+    e_stiff = settled_angle(500.0)
+    assert e_soft > 0.05, e_soft  # the free pendulum is actually swinging
+    assert e_stiff < 0.1 * e_soft, (e_stiff, e_soft)
 
 
 def test_kinematic_bodies_follow_bones():
