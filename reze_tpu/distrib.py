@@ -84,7 +84,7 @@ def make_batched_step(
         # the grouped kernel, kernels/frame_stream.py for "stream");
         # multi-chip crowds shard the batch with shard_map so each chip
         # batches its local slice.
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P2
 
         from .core.types import DiagState
@@ -156,7 +156,7 @@ def make_batched_step(
                     in_specs=(P2("data"), P2(), P2("data"), P2("data"),
                               P2(), tr_spec, P2()),
                     out_specs=P2("data"),
-                    check_rep=False,
+                    check_vma=False,
                 )
                 return mapped(states, dt, view_projs, eyes, lights, track,
                               breath)
@@ -169,7 +169,7 @@ def make_batched_step(
         # Non-stream fast paths: the grouped Pallas kernels cannot take a
         # batch grid axis; characters run as a device-side lax.map
         # (sequential per chip), sharded over chips with shard_map.
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P2
 
         def batched(states, dt, view_projs, eyes, lights, track, breath):
@@ -190,7 +190,7 @@ def make_batched_step(
                 mapped = shard_map(
                     lambda local_xs: jax.lax.map(body, local_xs),
                     mesh=mesh, in_specs=P2("data"), out_specs=P2("data"),
-                    check_rep=False,
+                    check_vma=False,
                 )
                 return mapped(xs)
             return jax.lax.map(body, xs)

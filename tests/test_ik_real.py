@@ -58,3 +58,50 @@ def test_ik_noop_when_target_at_rest(model1_path):
     _, wp0 = fk.world_transforms(skel, rot, trans)
     _, wp1 = fk.world_transforms(skel, solved, trans)
     np.testing.assert_allclose(np.asarray(wp0), np.asarray(wp1), atol=2e-2)
+
+
+def test_ik_append_link_warns():
+    """A model whose IK-link bone has append-rotate inheritance must warn at
+    load time: the CCD solver writes raw locals and would silently mis-solve
+    such a chain (skeleton/ik.py scatter-back; VERDICT r3 weak #7)."""
+    import warnings
+
+    from reze_tpu.core.build import build_ik
+    from reze_tpu.formats.pmx import (
+        FLAG_APPEND_ROTATE, FLAG_IK, PMXBone, PMXIK, PMXIKLink,
+    )
+
+    def bone(i, flags=0, append=-1, ik=None):
+        return PMXBone(
+            name=f"b{i}", english_name="", position=np.zeros(3),
+            parent=i - 1, transform_order=0, flags=flags,
+            append_parent=append, ik=ik,
+        )
+
+    link = PMXIKLink(bone=1, has_limit=False,
+                     limit_min=np.zeros(3), limit_max=np.zeros(3))
+    chain = PMXIK(target=2, loop_count=4, limit_angle=1.0, links=[link])
+    bones = [
+        bone(0),
+        bone(1, flags=FLAG_APPEND_ROTATE, append=0),  # link with append!
+        bone(2),
+        bone(3, flags=FLAG_IK, ik=chain),
+    ]
+
+    class FakePMX:
+        pass
+
+    pmx = FakePMX()
+    pmx.bones = bones
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        build_ik(pmx)
+    assert any("append-rotate" in str(x.message) for x in w), (
+        [str(x.message) for x in w])
+
+    # and a clean chain stays silent
+    bones[1].flags = 0
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        build_ik(pmx)
+    assert not any("append-rotate" in str(x.message) for x in w)
