@@ -14,7 +14,13 @@ skinning, rasterization with MSAA, toon shading, bloom — iterated entirely
 on-device via lax.scan (zero host round-trips, matching the engine design).
 
 Env knobs: BENCH_WIDTH/BENCH_HEIGHT (default 1920x1080), BENCH_FRAMES,
-BENCH_REPS, BENCH_PARITY=0 to skip the parity-config run.
+BENCH_REPS, BENCH_PARITY=0 to skip the parity-config run,
+BENCH_PROBE=0 to skip the chip-health probe.
+
+The official capture must never die to a wedged TPU worker (round-3
+incident: BENCH_r03.json rc:1 "Unable to initialize backend"): a trivial
+matmul probes the chip first, backend-init failures retry with backoff,
+and every failure path still prints ONE parseable JSON line.
 """
 
 from __future__ import annotations
@@ -22,8 +28,10 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import subprocess
 import sys
 import time
+import traceback
 
 WIDTH = int(os.environ.get("BENCH_WIDTH", 1920))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1080))
@@ -31,8 +39,72 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", 20))
 REPS = int(os.environ.get("BENCH_REPS", 3))
 BASELINE_FPS = 240.0
 
+PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT", 120))
+PROBE_RETRIES = int(os.environ.get("BENCH_PROBE_RETRIES", 3))
+PROBE_BACKOFF_S = 60
+
+_PROBE_SRC = """
+import jax, jax.numpy as jnp
+x = jnp.ones((64, 64))
+y = (x @ x).block_until_ready()
+print("PROBE_OK", jax.devices()[0].platform, float(y[0, 0]))
+"""
+
+
+def probe_chip() -> dict:
+    """Run a trivial matmul in a SUBPROCESS (so a hung backend init can be
+    timed out without wedging this process), with bounded retry+backoff.
+    Returns {"ok": bool, "attempts": n, "detail": str}."""
+    detail = ""
+    for attempt in range(1, PROBE_RETRIES + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=PROBE_TIMEOUT_S,
+            )
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                return {"ok": True, "attempts": attempt,
+                        "detail": r.stdout.strip().splitlines()[-1]}
+            detail = (r.stderr or r.stdout).strip().splitlines()[-1][:300] if (r.stderr or r.stdout).strip() else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            detail = f"probe timed out after {PROBE_TIMEOUT_S}s"
+        if attempt < PROBE_RETRIES:
+            print(f"# chip probe attempt {attempt} failed ({detail}); "
+                  f"backing off {PROBE_BACKOFF_S}s", file=sys.stderr)
+            time.sleep(PROBE_BACKOFF_S)
+    return {"ok": False, "attempts": PROBE_RETRIES, "detail": detail}
+
+
+def emit_failure(stage: str, detail: str, probe: dict | None = None) -> None:
+    """Diagnostic JSON line so the driver records a parseable result."""
+    print(json.dumps({
+        "metric": f"step+render frames/sec/chip ({WIDTH}x{HEIGHT}) [FAILED: {stage}]",
+        "value": 0.0,
+        "unit": "frames/sec",
+        "vs_baseline": 0.0,
+        "error": detail[:500],
+        "probe": probe,
+    }))
+
 
 def main():
+    probe = None
+    if os.environ.get("BENCH_PROBE", "1") != "0":
+        probe = probe_chip()
+        if not probe["ok"]:
+            emit_failure("chip-probe", probe["detail"], probe)
+            return
+        print(f"# {probe['detail']} (attempt {probe['attempts']})",
+              file=sys.stderr)
+
+    try:
+        run_bench(probe)
+    except Exception as e:  # noqa: BLE001 — always emit parseable JSON
+        traceback.print_exc(file=sys.stderr)
+        emit_failure("pipeline", f"{type(e).__name__}: {e}", probe)
+
+
+def run_bench(probe):
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +123,7 @@ def main():
         max_tris_per_bin=int(os.environ.get("BENCH_BIN_CAP", 1024)),
         rasterizer=os.environ.get("BENCH_RASTERIZER", "group"),
         msaa_samples=int(os.environ.get("BENCH_MSAA", 4)),
-        msaa_mode=os.environ.get("BENCH_MSAA_MODE", "msaa"),
+        msaa_mode=os.environ.get("BENCH_MSAA_MODE", "analytic"),
         enable_physics=os.environ.get("BENCH_PHYSICS", "1") == "1",
         enable_bloom=os.environ.get("BENCH_BLOOM", "1") == "1",
         enable_ik=os.environ.get("BENCH_IK", "1") == "1",
