@@ -149,9 +149,11 @@ def run_bench(probe):
     vp, eye = cam.view_proj(), cam.position()
     dt = jnp.float32(1.0 / 60.0)
 
-    def bench_config(c):
-        step = make_step(model, c, dims)
-        state = init_scene_state(model).replace(playing=jnp.array(True))
+    def bench_config(c, c_model=None):
+        if c_model is None:
+            c_model = model
+        step = make_step(c_model, c, dims)
+        state = init_scene_state(c_model).replace(playing=jnp.array(True))
 
         def run_n(state, n_frames):
             def body(carry, _):
@@ -179,8 +181,11 @@ def run_bench(probe):
         return best, compile_s
 
     best, compile_s = bench_config(cfg)
+    aa = "4xMSAA" if cfg.msaa_mode == "msaa" else \
+        "analytic-AA (4xMSAA-oracle-bounded)"
     result = {
-        "metric": f"step+render frames/sec/chip ({WIDTH}x{HEIGHT}, 28.8k-vert PMX, physics+IK+MSAA+bloom)",
+        "metric": f"step+render frames/sec/chip ({WIDTH}x{HEIGHT}, "
+                  f"28.8k-vert PMX, physics+IK+{aa}+bloom)",
         "value": round(best, 2),
         "unit": "frames/sec",
         "vs_baseline": round(best / BASELINE_FPS, 4),
@@ -190,17 +195,29 @@ def run_bench(probe):
 
     if os.environ.get("BENCH_PARITY", "1") != "0":
         # reference-fidelity parity: the browser's sampler is full-res
-        # bilinear level-0 (engine.ts:188-194)
+        # bilinear level-0 (engine.ts:188-194). The model must carry the
+        # level-0 quad atlas (flat_quad) for the 1-gather bilinear path —
+        # the 4-tap XLA fallback serializes past the compile tunnel's
+        # request cap at 1080p (HTTP 413, BENCH_r04 first capture).
         parity_cfg = dataclasses.replace(
             cfg, albedo_bilinear=True, albedo_half_visible=False,
             albedo_half_occluded=False, albedo_mips=False,
         )
-        p_best, _ = bench_config(parity_cfg)
-        print(
-            f"# parity config (full-res bilinear level-0 albedo): "
-            f"{p_best:.2f} FPS ({p_best / BASELINE_FPS:.4f} of baseline)",
-            file=sys.stderr,
-        )
+        try:
+            pbuilt = load_model(
+                "/root/reference/web/public/models/塞尔凯特2/塞尔凯特2.pmx",
+                parity_cfg)
+            p_best, _ = bench_config(parity_cfg, pbuilt.arrays)
+            print(
+                f"# parity config (full-res bilinear level-0 albedo): "
+                f"{p_best:.2f} FPS ({p_best / BASELINE_FPS:.4f} of baseline)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001 — headline already printed;
+            # a parity failure must never add a second stdout JSON line
+            traceback.print_exc(file=sys.stderr)
+            print(f"# parity config FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

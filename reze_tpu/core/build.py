@@ -386,6 +386,14 @@ def build_materials_and_atlas(
         texels[i, : img.shape[0], : img.shape[1]] = img
         sizes[i] = (img.shape[0], img.shape[1])
     mip_flat, mip_base = build_mip_chain(texels, sizes)
+    # only the variant the config's fetch path reads (the chains are 4x
+    # the base atlas: ~213 MB mip / ~336 MB flat on the reference model)
+    mip_quad = flat_quad = None
+    if cfg.albedo_quad and cfg.albedo_bilinear:
+        if cfg.albedo_mips:
+            mip_quad = build_quad_chain(mip_flat, mip_base, sizes)
+        else:
+            flat_quad = build_quad_flat(texels, sizes)
 
     alpha = np.zeros(m, np.float32)
     diffuse_rgb = np.zeros((m, 3), np.float32)
@@ -424,7 +432,8 @@ def build_materials_and_atlas(
         is_transparent=is_transparent,
     )
     return mats, T.TextureAtlas(texels=texels, sizes=sizes,
-                                mip_flat=mip_flat, mip_base=mip_base)
+                                mip_flat=mip_flat, mip_base=mip_base,
+                                mip_quad=mip_quad, flat_quad=flat_quad)
 
 
 def build_mip_chain(
@@ -465,6 +474,53 @@ def build_mip_chain(
                 img = 0.5 * (img[:, 0::2] + img[:, 1::2])
     flat = np.concatenate(chunks, axis=0)
     return flat, base.astype(np.int32)
+
+
+def _quad_pack_img(img: np.ndarray) -> np.ndarray:
+    """(h, w, 4) u8 -> (h, w, 16): each texel's 2x2 bilinear footprint
+    [self, right, down, right+down], neighbors edge-clamped — mirroring the
+    shade kernel's dx = (x0+1 <= w-1), dy = (y0+1 <= h-1) step rules
+    (kernels/shade_tpu.py:198-211), so one gather of row (y0*w + x0)
+    yields exactly the four texels the 4-gather bilinear path reads."""
+    h, w = img.shape[:2]
+    xr = np.minimum(np.arange(w) + 1, w - 1)
+    yd = np.minimum(np.arange(h) + 1, h - 1)
+    r = img[:, xr]
+    d = img[yd]
+    return np.concatenate([img, r, d, d[:, xr]], axis=-1)
+
+
+def build_quad_chain(
+    mip_flat: np.ndarray, mip_base: np.ndarray, sizes: np.ndarray
+) -> np.ndarray:
+    """(S, 4) u8 mip chain -> (S, 16) u8 quad footprints (TextureAtlas.
+    mip_quad). Bilinear filtering then costs ONE gather per pixel: the TPU
+    gather is priced per index (~5 ns) regardless of row width, so packing
+    the footprint beats 4 separate taps ~4x. 4x HBM for the chain."""
+    n, n_levels = mip_base.shape
+    quad = np.empty((mip_flat.shape[0], 16), np.uint8)
+    for i in range(n):
+        h, w = int(sizes[i, 0]), int(sizes[i, 1])
+        for l in range(n_levels):
+            hl, wl = max(h >> l, 1), max(w >> l, 1)
+            b = int(mip_base[i, l])
+            img = mip_flat[b:b + hl * wl].reshape(hl, wl, 4)
+            quad[b:b + hl * wl] = _quad_pack_img(img).reshape(-1, 16)
+    return quad
+
+
+def build_quad_flat(texels: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+    """Quad footprints for the padded level-0 atlas (texels.reshape(-1, 4),
+    stride maxW) — TextureAtlas.flat_quad. The down-neighbor step of the
+    padded layout is the same +stride row walk the kernel uses, and texels
+    beyond a texture's actual (h, w) are never addressed (indices come from
+    the actual sizes), so padding packs as self-copies."""
+    n, mh, mw, _ = texels.shape
+    quad = np.concatenate([texels] * 4, axis=-1)  # (n, mh, mw, 16) self-fill
+    for i in range(n):
+        h, w = int(sizes[i, 0]), int(sizes[i, 1])
+        quad[i, :h, :w] = _quad_pack_img(texels[i, :h, :w])
+    return quad.reshape(-1, 16)
 
 
 # ---------------------------------------------------------------------------

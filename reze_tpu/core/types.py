@@ -111,6 +111,11 @@ class EngineConfig:
     # bilinear filtering (engine.ts:189-190 uses a linear sampler); nearest
     # by default: 4x fewer gathers, visibly close at >=1080p
     albedo_bilinear: bool = False
+    # quad-packed bilinear: pre-pack every texel's 2x2 bilinear footprint
+    # into one 16-byte atlas row at load (TextureAtlas.mip_quad/flat_quad)
+    # so bilinear filtering costs ONE gather per pixel instead of 4 — the
+    # TPU gather is priced per index, not per byte. 4x atlas HBM.
+    albedo_quad: bool = True
     # mip-chain minification filtering for the albedo fetch. The reference
     # samples level 0 only (engine.ts:188-194) and visibly aliases at the
     # demo's ~8:1 texture minification; the TPU-first default prefilters
@@ -257,6 +262,13 @@ class TextureAtlas:
     # 1x1). The reference samples level 0 only (engine.ts:188-194).
     mip_flat: Array | None = None  # (S, 4) uint8
     mip_base: Array | None = None  # (N, L) i32
+    # quad-packed neighborhoods (built when EngineConfig.albedo_quad):
+    # row i holds the 2x2 bilinear footprint rooted at texel i —
+    # [A[i], A[i+dx], A[i+dy], A[i+dx+dy]] with dx/dy the edge-clamped
+    # right/down steps inside i's (texture, level) image — so bilinear
+    # filtering needs ONE gather per pixel (gathers are priced per index).
+    mip_quad: Array | None = None  # (S, 16) uint8, footprints of mip_flat
+    flat_quad: Array | None = None  # (N*maxH*maxW, 16) u8, of texels.reshape(-1,4)
 
 
 @struct.dataclass

@@ -19,8 +19,10 @@ not fuse. This kernel does the whole epilogue in one VMEM pass:
     (measured ~0.02 ms standalone, scripts/mb_bloom.py).
 
 Outputs: composite (3, hp, wp) + bloom vertical-mean seed (3, hp/2, wp).
-Nearest/half-res/mip albedo modes only — the 4-tap bilinear config keeps
-the XLA path (render/pipeline_tpu._composite_shaded).
+Albedo modes: nearest (one i32 texel per pixel) and quad-packed bilinear
+(4 i32 channels per pixel = the 2x2 footprint from one 16-byte gather,
+lerped in-kernel with the shade kernel's fx/fy). Only 4-tap bilinear
+without a quad atlas keeps the XLA path (_composite_shaded).
 """
 
 from __future__ import annotations
@@ -50,7 +52,8 @@ def _unpack_rgb(u):
 
 
 def _composite_kernel(o_ref, a0_ref, a1_ref, out_ref, half_ref, *,
-                      with_bloom: bool, batched: bool = False):
+                      with_bloom: bool, batched: bool = False,
+                      quad: bool = False):
     if batched:
         # grid (C, by, bx): all refs are per-character blocks
         o_ref = o_ref.at[0]
@@ -63,7 +66,25 @@ def _composite_kernel(o_ref, a0_ref, a1_ref, out_ref, half_ref, *,
     cb = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     for layer, a_ref in ((0, a0_ref), (1, a1_ref)):
         base = layer * ST.O_CH
-        tr, tg, tb = _unpack_rgb(a_ref[0])
+        if quad:
+            # bilinear from the quad-packed footprint: the 4 texels of the
+            # 2x2 neighborhood ride the albedo ref as 4 i32 channels
+            # (core/build.py build_quad_chain); lerp weights are the shade
+            # kernel's per-pixel (fx, fy)
+            fx = o_ref[base + ST.O_FX]
+            fy = o_ref[base + ST.O_FY]
+            ws = ((1.0 - fx) * (1.0 - fy), fx * (1.0 - fy),
+                  (1.0 - fx) * fy, fx * fy)
+            tr = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            tg = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            tb = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            for qi in range(4):
+                r, g, b = _unpack_rgb(a_ref[qi])
+                tr = tr + r * ws[qi]
+                tg = tg + g * ws[qi]
+                tb = tb + b * ws[qi]
+        else:
+            tr, tg, tb = _unpack_rgb(a_ref[0])
         valid = o_ref[base + ST.O_TEX] >= 0.0
         tr = jnp.where(valid, tr, 1.0)
         tg = jnp.where(valid, tg, 1.0)
@@ -102,17 +123,22 @@ def composite_tpu(
     batched = o.ndim == 4
     hp, wp = o.shape[-2:]
     c_dim = o.shape[0] if batched else 1
+    # (hp, wp) i32 albedo = nearest; (4, hp, wp) = quad-packed bilinear
+    quad = a0.ndim == (4 if batched else 3)
+    n_ch = 4 if quad else 1
     kernel = functools.partial(_composite_kernel, with_bloom=with_bloom,
-                               batched=batched)
+                               batched=batched, quad=quad)
     if batched:
         grid = (c_dim, hp // TILE_H, wp // TILE_W)
         in_specs = [
             pl.BlockSpec((1, 2 * ST.O_CH, TILE_H, TILE_W),
                          lambda c, i, j: (c, 0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_H, TILE_W), lambda c, i, j: (c, 0, i, j),
+            pl.BlockSpec((1, n_ch, TILE_H, TILE_W),
+                         lambda c, i, j: (c, 0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_H, TILE_W), lambda c, i, j: (c, 0, i, j),
+            pl.BlockSpec((1, n_ch, TILE_H, TILE_W),
+                         lambda c, i, j: (c, 0, i, j),
                          memory_space=pltpu.VMEM),
         ]
         out_specs = [
@@ -127,15 +153,15 @@ def composite_tpu(
             jax.ShapeDtypeStruct((c_dim, 3, hp // 2, wp), jnp.float32),
         ]
         dims_sem = ("parallel", "parallel", "parallel")
-        args = (o, a0[:, None], a1[:, None])
+        args = (o, a0 if quad else a0[:, None], a1 if quad else a1[:, None])
     else:
         grid = (hp // TILE_H, wp // TILE_W)
         in_specs = [
             pl.BlockSpec((2 * ST.O_CH, TILE_H, TILE_W),
                          lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, j: (0, i, j),
+            pl.BlockSpec((n_ch, TILE_H, TILE_W), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, j: (0, i, j),
+            pl.BlockSpec((n_ch, TILE_H, TILE_W), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
         ]
         out_specs = [
@@ -149,7 +175,7 @@ def composite_tpu(
             jax.ShapeDtypeStruct((3, hp // 2, wp), jnp.float32),
         ]
         dims_sem = ("parallel", "parallel")
-        args = (o, a0[None], a1[None])
+        args = (o, a0 if quad else a0[None], a1 if quad else a1[None])
     out, half = pl.pallas_call(
         kernel,
         grid=grid,

@@ -384,8 +384,8 @@ def render_megakernel_mxu(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # starts
             pl.BlockSpec(memory_space=pltpu.SMEM),  # counts
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rows (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rows_t (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # rows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # rows_t (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pxy
         ],
         out_specs=pl.BlockSpec(

@@ -517,8 +517,8 @@ def render_megakernel_stream(
             pl.BlockSpec((1, 8, b), lambda c, i, j: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
         out_specs = pl.BlockSpec(
@@ -534,8 +534,8 @@ def render_megakernel_stream(
             pl.BlockSpec((1, 8, b), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.SMEM),   # bounds
             pl.BlockSpec(memory_space=pltpu.SMEM),   # depth-write flags
-            pl.BlockSpec(memory_space=pltpu.ANY),    # rows (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # quad (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # rows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # quad (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # pxy
         ]
         out_specs = pl.BlockSpec(

@@ -98,42 +98,6 @@ class FrameTables(NamedTuple):
     overflow: jax.Array  # () i32 total dropped pairs
 
 
-def pack_pass_rows(
-    tri: TriSetup,
-    corner_uv: jax.Array,
-    corner_nrm: jax.Array,
-    alpha: jax.Array,  # (T,) per-triangle material alpha (outline: edge a)
-    is_hair: jax.Array,
-    ramp_gid: jax.Array,
-    tex_gid: jax.Array,
-    edge_gid: jax.Array,
-    by: int,
-    bx: int,
-    cap: int,
-    with_attrs: bool,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """One pass -> (rows (cap, ROW_W), starts (B,), counts (B,), overflow)."""
-    tab, bin_id, ok, tri_of_k, total = pack_pass_part(
-        tri, corner_uv, corner_nrm, alpha, is_hair, ramp_gid, tex_gid,
-        edge_gid, by, bx, cap, with_attrs)
-    # 8-row tiles: a group's triangles share the tile band by construction,
-    # and draw order within a bin is exact (id is the low sort key)
-    b_total = by * bx
-    key = jnp.where(ok, bin_id * (1 << 15) + tri_of_k, b_total << 15)
-    key = jnp.sort(key)
-    pair_bin = key >> 15
-    pair_tri = jnp.where(pair_bin < b_total, key & ((1 << 15) - 1), 0)
-
-    rows = tab[pair_tri]  # (cap, ROW_W) pair-ordered gather
-    # per-bin starts: histogram of pair_bin + exclusive cumsum (same
-    # monotone-searchsorted avoidance as in pack_pass_part)
-    counts_b = jnp.zeros((b_total,), jnp.int32).at[pair_bin].add(
-        1, mode="drop", indices_are_sorted=True)
-    ends = jnp.minimum(jnp.cumsum(counts_b), cap)
-    starts = jnp.minimum(ends - counts_b, cap)
-    return rows, starts, ends - starts, jnp.maximum(total - cap, 0)
-
-
 def pack_pass_part(
     tri: TriSetup,
     corner_uv: jax.Array,
@@ -228,8 +192,13 @@ def pack_pass_part(
     slot = k - vals[:, 0]
     ok = k < total
     nx_k = jnp.maximum(vals[:, 1], 1)
-    bin_y = vals[:, 2] + slot // nx_k
-    bin_id = bin_y * bx + (vals[:, 3] + slot % nx_k)
+    # slot // nx via f32 reciprocal: vector int32 division has no hardware
+    # path on the VPU. Exact because slot <= bins-per-tri < 2^12 and the
+    # +0.25 bias dominates the reciprocal rounding (err <= slot * 2^-24).
+    sy = jnp.floor((slot.astype(jnp.float32) + 0.25)
+                   * (1.0 / nx_k.astype(jnp.float32))).astype(jnp.int32)
+    bin_y = vals[:, 2] + sy
+    bin_id = bin_y * bx + (vals[:, 3] + (slot - sy * nx_k))
     return tab, bin_id, ok, tri_of_k, total
 
 
@@ -237,46 +206,67 @@ def pack_frame_rows(parts, by: int, bx: int) -> "FrameTables":
     """Merge all passes' pair enumerations under ONE sort + ONE row gather.
 
     ``parts``: per pass, pack_pass_part's (tab, bin_id, ok, tri_of_k,
-    total). Key = ((pass * B + bin) << 15) | tri — pass-major then
+    total). Key = ((pass * B + bin) << 15) | (tri + 1) — pass-major then
     bin-major, so starts/counts reshape directly to the (N_PASSES, B)
     layout the megakernel reads and every (pass, bin) segment holds
     exactly the rows the per-pass sort produced, in the same order.
-    Replaces 7 sorts + 7 gathers + a full-size rows concatenation."""
+    Replaces 7 sorts + 7 gathers + a full-size rows concatenation.
+
+    Per-segment starts/counts come from SEGMENT MARKERS riding the same
+    sort: one marker key per (pass, bin) with tri-field 0 (pairs carry
+    tri + 1) plus a terminator sorts each marker immediately before its
+    segment's pairs, so starts[s] = pos(marker s) + 1 and counts[s] =
+    pos(marker s+1) - pos(marker s) - 1. Extracting the positions is a
+    second (key, iota) sort — the scatter-add histogram this replaces
+    measured 2.5 ms at 272k pairs vs ~0.3 ms per sort (r4 microbench)."""
     assert len(parts) == N_PASSES
     b_total = by * bx
+    nseg = N_PASSES * b_total
     # key packing fits int32 up to b_total < 9362 (4K is 8100)
-    assert (N_PASSES * b_total) < (1 << 16), b_total
+    assert nseg < (1 << 16), b_total
     keys = []
     offs = []
     off = 0
     overflow = jnp.int32(0)
     for p, (tab, bin_id, ok, tri_of_k, total) in enumerate(parts):
+        assert tab.shape[0] < (1 << 15) - 1  # tri + 1 must fit 15 bits
         keys.append(jnp.where(
-            ok, ((p * b_total + bin_id) << 15) + tri_of_k,
-            jnp.int32((N_PASSES * b_total) << 15)))
+            ok, ((p * b_total + bin_id) << 15) + tri_of_k + 1,
+            jnp.int32((nseg << 15) + 1)))
         offs.append(off)
         off += tab.shape[0]
         overflow = overflow + jnp.maximum(total - ok.shape[0], 0)
-    tab_all = jnp.concatenate([pp[0] for pp in parts])
-    key = jnp.sort(jnp.concatenate(keys))
-    cap = key.shape[0]
+    markers = jnp.arange(nseg + 1, dtype=jnp.int32) << 15
+    key = jnp.sort(jnp.concatenate(keys + [markers]))
+    n = key.shape[0]  # cap + nseg + 1
+    tri_f = key & ((1 << 15) - 1)
     sk = key >> 15  # pass * B + bin, sorted
-    live = sk < N_PASSES * b_total
-    tri_id = key & ((1 << 15) - 1)
-    pass_of = jnp.where(live, sk // b_total, 0)
+    is_marker = tri_f == 0
+    is_pair = jnp.logical_not(is_marker) & (sk < nseg)
+    # markers and dead pairs gather the appended zero row (no masking pass
+    # over the (n, ROW_W) result needed)
+    tab_all = jnp.concatenate(
+        [pp[0] for pp in parts] + [jnp.zeros((1, ROW_W))])
+    pass_of = jnp.where(is_pair, sk // b_total, 0)
     row_idx = jnp.where(
-        live, jnp.asarray(offs, jnp.int32)[pass_of] + tri_id, 0)
-    rows = jnp.where(live[:, None], tab_all[row_idx], 0.0)
-    counts = jnp.zeros((N_PASSES * b_total,), jnp.int32).at[sk].add(
-        1, mode="drop", indices_are_sorted=True)
-    ends = jnp.minimum(jnp.cumsum(counts), cap)
-    starts = jnp.minimum(ends - counts, cap)
-    rows_all = jnp.concatenate([rows, jnp.zeros((CHUNK, ROW_W))])
+        is_pair, jnp.asarray(offs, jnp.int32)[pass_of] + tri_f - 1,
+        tab_all.shape[0] - 1)
+    rows = tab_all[row_idx]
+    mkey = jnp.where(is_marker, sk, jnp.int32(1 << 30))
+    _, mpos = jax.lax.sort(
+        (mkey, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    p_s = mpos[: nseg + 1]  # position of marker s in the merged stream
+    starts = p_s[:-1] + 1
+    counts = p_s[1:] - p_s[:-1] - 1
+    # pad to a CHUNK multiple (+ one spare chunk): DMA windows and the mxu
+    # path's CHUNK-strided quad-table reshape both need it
+    pad = CHUNK + (-n) % CHUNK
+    rows_all = jnp.concatenate([rows, jnp.zeros((pad, ROW_W))])
     return FrameTables(
         rows=rows_all,
         rows_t=None,
         starts=starts.reshape(N_PASSES, b_total),
-        counts=(ends - starts).reshape(N_PASSES, b_total),
+        counts=counts.reshape(N_PASSES, b_total),
         overflow=overflow,
     )
 
@@ -715,7 +705,7 @@ def render_megakernel(
         in_specs=[
             sc_spec,  # starts
             sc_spec,  # counts
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rows (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # rows (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # knot_tab
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tex_tab
             pl.BlockSpec(memory_space=pltpu.VMEM),  # edge_tab

@@ -84,6 +84,38 @@ def _fetch_albedo(atlas_flat, o, base, dims, *, bilinear: bool, half_res: bool):
 
 
 
+def _fetch_albedo_quad(quad_flat, o, base, dims, *, half_res: bool):
+    """Bilinear albedo in ONE gather per pixel from the quad-packed atlas
+    (core/build.py build_quad_chain): row tex holds the full 2x2 footprint
+    [t00 t10 t01 t11] as 16 u8, so only the lerp with (fx, fy) remains.
+    Exact match of _fetch_albedo's 4-gather bilinear path by construction
+    (the neighbor clamping is baked into the quad rows)."""
+    tex = o[base + ST.O_TEX]
+    fx = o[base + ST.O_FX]
+    fy = o[base + ST.O_FY]
+    valid = tex >= 0.0
+    idx = jnp.maximum(tex, 0.0).astype(jnp.int32)
+    if half_res:
+        h2, w2 = dims.hp // 2, dims.wp // 2
+        i2 = idx.reshape(h2, 2, dims.wp)[:, 0, :]
+        i4 = i2[:, ::2]
+        q = quad_flat[i4.reshape(-1)].astype(jnp.float32)  # (h2*w2, 16)
+        q = q.reshape(h2, w2, 16)
+        q = jnp.broadcast_to(q[:, :, None, :], (h2, w2, 2, 16))
+        q = q.reshape(h2, dims.wp, 16)
+        q = jnp.broadcast_to(q[:, None, :, :], (h2, 2, dims.wp, 16))
+        q = q.reshape(dims.p, 16) * (1.0 / 255.0)
+    else:
+        q = quad_flat[idx].astype(jnp.float32) * (1.0 / 255.0)
+    wx = fx[:, None]
+    wy = fy[:, None]
+    texel = (
+        q[:, 0:3] * (1 - wx) * (1 - wy) + q[:, 4:7] * wx * (1 - wy)
+        + q[:, 8:11] * (1 - wx) * wy + q[:, 12:15] * wx * wy
+    )
+    return jnp.where(valid[:, None], texel, 1.0)
+
+
 def _mip_args(cfg: EngineConfig, model: ModelArrays) -> tuple[bool, tuple]:
     """(use_mips, per-layer lod bias) for the shade kernels; a half-res
     fetched layer samples one level coarser so the 2x2-replicated result
@@ -128,17 +160,52 @@ def _albedo_u32(atlas_u8, o, base, dims, *, half_res: bool) -> jax.Array:
     return g32(idx).reshape(dims.hp, dims.wp)
 
 
-def _composite_shaded_kernel(o, atlas_flat, dims, cfg, interpret=False):
+def _albedo_quad32(quad_u8, o, base, dims, *, half_res: bool) -> jax.Array:
+    """Texel index channels -> (4, hp, wp) i32 quad footprints: ONE gather
+    of the 16-byte quad row per pixel (bitcast to 4 packed texels); the
+    composite kernel lerps with the per-pixel (fx, fy) channels. Same
+    per-index gather price as the nearest path for true bilinear output."""
+    tex = o[base + ST.O_TEX]
+    idx = jnp.maximum(tex, 0.0).astype(jnp.int32)
+
+    def g(i):
+        q = quad_u8[i]  # (..., 16) u8
+        return jax.lax.bitcast_convert_type(
+            q.reshape(q.shape[:-1] + (4, 4)), jnp.int32)  # (..., 4) i32
+
+    if half_res:
+        h2, w2 = dims.hp // 2, dims.wp // 2
+        i2 = idx.reshape(h2, 2, dims.wp)[:, 0, :]
+        i4 = i2[:, ::2]
+        q = g(i4)  # (h2, w2, 4) i32
+        q = jnp.broadcast_to(q[:, :, None, :], (h2, w2, 2, 4))
+        q = q.reshape(h2, dims.wp, 4)
+        q = jnp.broadcast_to(q[:, None, :, :], (h2, 2, dims.wp, 4))
+        q = q.reshape(dims.hp, dims.wp, 4)
+    else:
+        q = g(idx).reshape(dims.hp, dims.wp, 4)
+    return q.transpose(2, 0, 1)
+
+
+def _composite_shaded_kernel(o, atlas_flat, dims, cfg, interpret=False,
+                             quad=None):
     """Pallas epilogue route (kernels/composite_tpu.py): u32 albedo gathers
     + in-VMEM composite/bloom-extract; blur + upsample + add in XLA.
-    Nearest-mode only (bilinear keeps _composite_shaded)."""
+    Nearest mode gathers one texel per pixel; bilinear mode one quad
+    footprint per pixel (same index count) when the quad atlas is built."""
     from ..kernels import composite_tpu as CT
 
     op = o.reshape(2 * ST.O_CH, dims.hp, dims.wp)
-    a0 = _albedo_u32(atlas_flat, o, 0, dims,
-                     half_res=cfg.albedo_half_occluded)
-    a1 = _albedo_u32(atlas_flat, o, ST.O_CH, dims,
-                     half_res=cfg.albedo_half_visible)
+    if cfg.albedo_bilinear and quad is not None:
+        a0 = _albedo_quad32(quad, o, 0, dims,
+                            half_res=cfg.albedo_half_occluded)
+        a1 = _albedo_quad32(quad, o, ST.O_CH, dims,
+                            half_res=cfg.albedo_half_visible)
+    else:
+        a0 = _albedo_u32(atlas_flat, o, 0, dims,
+                         half_res=cfg.albedo_half_occluded)
+        a1 = _albedo_u32(atlas_flat, o, ST.O_CH, dims,
+                         half_res=cfg.albedo_half_visible)
     img_cf, half = CT.composite_tpu(
         op, a0, a1, with_bloom=cfg.enable_bloom, interpret=interpret,
     )
@@ -155,20 +222,27 @@ def _composite_shaded_kernel(o, atlas_flat, dims, cfg, interpret=False):
     return jnp.clip(img_cf, 0.0, 1.0).transpose(1, 2, 0)
 
 
-def _finish_frame_crowd(o, atlas_flat, dims, cfg, interpret=False):
+def _finish_frame_crowd(o, atlas_flat, dims, cfg, interpret=False, quad=None):
     """Crowd composite: o (C, 2*O_CH, P) -> (C, H, W, 3). Nearest mode runs
     the batched Pallas epilogue; bilinear vmaps the XLA composite."""
-    if cfg.albedo_bilinear:
+    if cfg.albedo_bilinear and quad is None:
         return jax.vmap(
             lambda o1: _composite_shaded(o1, atlas_flat, dims, cfg))(o)
     from ..kernels import composite_tpu as CT
 
     c_dim = o.shape[0]
     op = o.reshape(c_dim, 2 * ST.O_CH, dims.hp, dims.wp)
-    a0 = jax.vmap(lambda o1: _albedo_u32(
-        atlas_flat, o1, 0, dims, half_res=cfg.albedo_half_occluded))(o)
-    a1 = jax.vmap(lambda o1: _albedo_u32(
-        atlas_flat, o1, ST.O_CH, dims, half_res=cfg.albedo_half_visible))(o)
+    if cfg.albedo_bilinear:
+        a0 = jax.vmap(lambda o1: _albedo_quad32(
+            quad, o1, 0, dims, half_res=cfg.albedo_half_occluded))(o)
+        a1 = jax.vmap(lambda o1: _albedo_quad32(
+            quad, o1, ST.O_CH, dims, half_res=cfg.albedo_half_visible))(o)
+    else:
+        a0 = jax.vmap(lambda o1: _albedo_u32(
+            atlas_flat, o1, 0, dims, half_res=cfg.albedo_half_occluded))(o)
+        a1 = jax.vmap(lambda o1: _albedo_u32(
+            atlas_flat, o1, ST.O_CH, dims,
+            half_res=cfg.albedo_half_visible))(o)
     img_cf, half = CT.composite_tpu(
         op, a0, a1, with_bloom=cfg.enable_bloom, interpret=interpret,
     )
@@ -184,25 +258,30 @@ def _finish_frame_crowd(o, atlas_flat, dims, cfg, interpret=False):
     return jnp.clip(img_cf, 0.0, 1.0).transpose(0, 2, 3, 1)
 
 
-def _finish_frame(o, atlas_flat, dims, cfg, interpret=False):
-    """Composite route: Pallas epilogue for nearest-mode albedo (the
-    measured-fast path), XLA composite for the bilinear parity config."""
-    if not cfg.albedo_bilinear:
-        return _composite_shaded_kernel(o, atlas_flat, dims, cfg, interpret)
-    return _composite_shaded(o, atlas_flat, dims, cfg)
+def _finish_frame(o, atlas_flat, dims, cfg, interpret=False, quad=None):
+    """Composite route: Pallas epilogue for nearest albedo and for
+    quad-packed bilinear (ONE gather per pixel either way); the XLA
+    composite only for 4-tap bilinear without a quad atlas."""
+    if not cfg.albedo_bilinear or quad is not None:
+        return _composite_shaded_kernel(o, atlas_flat, dims, cfg, interpret,
+                                        quad=quad)
+    return _composite_shaded(o, atlas_flat, dims, cfg, quad=quad)
 
 
-def _composite_shaded(o, atlas_flat, dims, cfg):
+def _composite_shaded(o, atlas_flat, dims, cfg, quad=None):
     """Shade-kernel outputs (2*O_CH, P) -> (H, W, 3) with albedo + bloom."""
     cr = cg = cb = jnp.zeros((dims.p,))
     for layer in range(2):
         base = layer * ST.O_CH
         half = (cfg.albedo_half_occluded and layer == 0) or (
             cfg.albedo_half_visible and layer == 1)
-        albedo = _fetch_albedo(
-            atlas_flat, o, base, dims,
-            bilinear=cfg.albedo_bilinear, half_res=half,
-        )
+        if cfg.albedo_bilinear and quad is not None:
+            albedo = _fetch_albedo_quad(quad, o, base, dims, half_res=half)
+        else:
+            albedo = _fetch_albedo(
+                atlas_flat, o, base, dims,
+                bilinear=cfg.albedo_bilinear, half_res=half,
+            )
         rim = o[base + ST.O_RIM]
         a = o[base + ST.O_AEFF]
         na = 1.0 - a
@@ -354,7 +433,8 @@ def render_frame_mega(
         )
         o = shaded.reshape(2 * ST.O_CH, dims.p)
         flat = model.atlas.mip_flat if use_mips else packed.atlas_flat
-        img = _finish_frame(o, flat, dims, cfg, interpret)
+        quad = model.atlas.mip_quad if use_mips else model.atlas.flat_quad
+        img = _finish_frame(o, flat, dims, cfg, interpret, quad=quad)
         return (img, st.overflow) if with_diag else img
     ft = _build_group_tables(model, cfg, dims, tables, pos, nrm, view_proj,
                              uvs, with_quad=cfg.rasterizer == "mxu")
@@ -386,7 +466,8 @@ def render_frame_mega(
         )
     o = shaded.reshape(2 * ST.O_CH, dims.p)
     flat = model.atlas.mip_flat if use_mips else packed.atlas_flat
-    img = _finish_frame(o, flat, dims, cfg, interpret)
+    quad = model.atlas.mip_quad if use_mips else model.atlas.flat_quad
+    img = _finish_frame(o, flat, dims, cfg, interpret, quad=quad)
     return (img, ft.overflow) if with_diag else img
 
 
@@ -474,7 +555,8 @@ def render_crowd_mega(
         )  # (C, 2*O_CH, hp, wp)
     o = shaded.reshape(c_dim, 2 * ST.O_CH, dims.p)
     flat = model.atlas.mip_flat if use_mips else packed.atlas_flat
-    img = _finish_frame_crowd(o, flat, dims, cfg, interpret)
+    quad = model.atlas.mip_quad if use_mips else model.atlas.flat_quad
+    img = _finish_frame_crowd(o, flat, dims, cfg, interpret, quad=quad)
     return (img, st.overflow) if with_diag else img  # overflow: (C,)
 
 
@@ -656,7 +738,8 @@ def render_frame_fast(
         )
         o = shaded.reshape(2 * ST.O_CH, dims.p)
         flat = model.atlas.mip_flat if use_mips else packed.atlas_flat
-        img = _finish_frame(o, flat, dims, cfg, interpret)
+        quad = model.atlas.mip_quad if use_mips else model.atlas.flat_quad
+        img = _finish_frame(o, flat, dims, cfg, interpret, quad=quad)
         return (img, overflow) if with_diag else img
     else:
         # 1. opaque

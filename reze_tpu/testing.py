@@ -118,13 +118,16 @@ def make_test_model(n_bones: int = 8, j_pad: int = 8, v_pad: int = 64,
     gy, gx = np.meshgrid(np.linspace(60, 220, th), np.linspace(40, 240, tw),
                          indexing="ij")
     texels = np.stack([gx, gy, 0.5 * (gx + gy), np.full((th, tw), 255.0)], -1)[None]
-    from .core.build import build_mip_chain
+    from .core.build import build_mip_chain, build_quad_chain, build_quad_flat
 
     tex_u8 = texels.astype(np.uint8)
     tex_sizes = np.array([[th, tw]], np.int32)
     mip_flat, mip_base = build_mip_chain(tex_u8, tex_sizes)
     atlas = T.TextureAtlas(texels=tex_u8, sizes=tex_sizes,
-                           mip_flat=mip_flat, mip_base=mip_base)
+                           mip_flat=mip_flat, mip_base=mip_base,
+                           mip_quad=build_quad_chain(mip_flat, mip_base,
+                                                     tex_sizes),
+                           flat_quad=build_quad_flat(tex_u8, tex_sizes))
 
     morphs_off = np.zeros((2, v_pad, 3), np.float32)
     morphs_off[0, 0] = (0.0, 0.2, 0.0)

@@ -212,3 +212,55 @@ def test_pair_caps_cover_1080p(scene):
         cap = -(-int(t * cfg.pair_cap_scale + 1024) // FT.CHUNK) * FT.CHUNK
         assert pairs <= 0.95 * cap, (
             f"pass cls={cls} outline={outline}: {pairs} pairs vs cap {cap}")
+
+
+@pytest.mark.parametrize("mode", ["msaa", "analytic"])
+def test_closeup_production_vs_color_oracle(scene, mode):
+    """VERDICT r3 item 3: the close-up that exposed the coverage-to-alpha
+    ghosting, rendered by the PRODUCTION megakernel (both AA modes),
+    bounded against the true per-sample color-resolve oracle
+    (msaa_resolve="color", the reference's 4x multisample target,
+    engine.ts:72/2146). Measured r4 (this exact config): msaa mean 0.0101 /
+    frac>0.15 1.5%; analytic 0.0261 / 5.9%. The production default (msaa)
+    sits well inside true-MSAA territory; analytic's extra divergence is
+    the documented single-center-depth silhouette approximation (interior
+    pixels agree to 1e-4), so it gets a looser bound."""
+    import dataclasses
+
+    from reze_tpu.render import pipeline_tpu as PT, shading_fast as SF
+
+    cfg, m, track = scene
+    cfg = dataclasses.replace(
+        cfg, width=128, height=128, enable_bloom=False, camera_distance=2.5,
+        albedo_bilinear=True, albedo_half_occluded=False,
+        albedo_half_visible=False, albedo_mips=False,
+    )
+    pos, nrm = _pose_at(m, track, 0.0)
+    hp = np.asarray(fk.world_transforms(
+        m.skeleton,
+        jnp.zeros((m.skeleton.j, 4)).at[:, 3].set(1.0),
+        jnp.zeros((m.skeleton.j, 3)))[1])
+    head_y = float(hp[:, 1].max())
+    cam = Camera(alpha=np.pi, beta=np.pi / 2, radius=2.5,
+                 target=(0.0, head_y - 0.35, 0.0), aspect=1.0)
+    lights = pipeline.make_lights(cfg)
+
+    c_color = dataclasses.replace(cfg, msaa_resolve="color")
+    dims_x = pipeline.make_dims(c_color)
+    oracle = np.asarray(pipeline.render_frame(
+        m, c_color, dims_x, pos, nrm, cam.view_proj(), cam.position(),
+        lights))
+
+    c_prod = dataclasses.replace(cfg, msaa_mode=mode)
+    dims_f = PT.make_dims_fast(c_prod)
+    packed = SF.pack_materials(m.materials, m.atlas)
+    prod = np.asarray(PT.render_frame_mega(
+        m, c_prod, dims_f, packed, pos, nrm, cam.view_proj(),
+        cam.position(), lights, interpret=True))
+
+    d = np.abs(prod - oracle).max(-1)
+    covered = oracle.sum(-1) > 0.01
+    assert covered.sum() > 1000
+    mean_bound, frac_bound = (0.02, 0.03) if mode == "msaa" else (0.04, 0.09)
+    assert d[covered].mean() < mean_bound, d[covered].mean()
+    assert (d[covered] > 0.15).mean() < frac_bound, (d[covered] > 0.15).mean()

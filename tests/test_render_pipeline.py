@@ -267,3 +267,36 @@ def test_analytic_aa_close_to_msaa(scene):
     # interior pixels identical; divergence confined to silhouettes
     assert diff[covered].mean() < 0.03, diff[covered].mean()
     assert (diff[covered] > 0.25).mean() < 0.10
+
+
+@pytest.mark.parametrize("mips", [False, True])
+def test_quad_bilinear_matches_4gather(scene, mips):
+    """Quad-packed bilinear (ONE 16-byte gather per pixel,
+    core/build.py build_quad_chain) must reproduce the 4-gather bilinear
+    path exactly: the quad rows bake the same edge-clamped neighbor steps
+    the shade kernel encodes in O_DXDY (shade_tpu.py:198-211)."""
+    import dataclasses
+
+    s = dict(scene)
+    cfg = dataclasses.replace(
+        scene["cfg"], albedo_bilinear=True, albedo_mips=mips,
+        # exercise both the full-res and the half-res quad fetch
+        albedo_half_visible=False, albedo_half_occluded=True,
+    )
+    dims = pipeline_tpu.make_dims_fast(cfg)
+    packed = SF.pack_materials(s["model"].materials, s["model"].atlas)
+
+    def render(quad_on):
+        model = s["model"]
+        if not quad_on:
+            model = model.replace(atlas=model.atlas.replace(
+                mip_quad=None, flat_quad=None))
+        return np.asarray(pipeline_tpu.render_frame_mega(
+            model, cfg, dims, packed, s["pos"], s["nrm"],
+            s["cam"].view_proj(), s["cam"].position(), s["lights"],
+            interpret=True,
+        ))
+
+    ref = render(False)   # 4-gather bilinear
+    quad = render(True)   # 1-gather quad bilinear
+    assert np.abs(ref - quad).max() < 1e-5, np.abs(ref - quad).max()
