@@ -64,6 +64,9 @@ ROW_W = 128  # f32 lanes per pair row (HBM DMA slices must be 128-aligned)
 # 14    packed material code [alpha|ramp|tex|edge|hair]
 # 15:18 1/|grad e_i| (analytic-coverage AA)
 # 19:37 a0..a5 b0..b5 c0..c5                  (attribute planes)
+# 64:96 hybrid-kernel coefficient blocks, 8-aligned for the in-kernel
+#       (128, 32) transpose (kernels/frame_hybrid.py): [sea_i seb_i sec_i]
+#       = edge plane i scaled by 1/|grad| at 64/72/80, [za zb zc] at 88
 C_E = 0
 C_Z = 9
 C_YMIN = 12
@@ -71,6 +74,7 @@ C_YMAX = 13
 C_ALPHA = 14
 C_IGRAD = 15
 C_ATTR = 19
+C_HYB = 64
 
 # per-pass static config: (outline, depth_write, write_stencil, use_stencil)
 PASS_CFG = (
@@ -162,7 +166,17 @@ def pack_pass_part(
     else:
         attr = jnp.zeros((t, 18))
     tab = jnp.stack(cols, axis=1)  # (T, 19)
-    tab = jnp.concatenate([tab, attr, jnp.zeros((t, ROW_W - 37))], axis=1)
+    # hybrid-kernel blocks (cols 64:96): scaled edge planes + depth plane
+    # in 8-aligned triples so the in-kernel (128, 32) transpose yields the
+    # (8, 512) quad by four aligned sublane slices (frame_hybrid.py)
+    hyb = []
+    for i in range(3):
+        hyb += [ea[:, i] * ig[:, i], eb[:, i] * ig[:, i],
+                ec[:, i] * ig[:, i], zero, zero, zero, zero, zero]
+    hyb += [za, zb, zc]
+    tab = jnp.concatenate(
+        [tab, attr, jnp.zeros((t, C_HYB - 37)), jnp.stack(hyb, axis=1),
+         jnp.zeros((t, ROW_W - C_HYB - 27))], axis=1)
 
     # exact (bin, tri) pair enumeration, sorted by (bin, ymin-row, id) so a
     # sublane group's triangles share a narrow row band

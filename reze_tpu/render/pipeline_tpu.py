@@ -457,7 +457,12 @@ def render_frame_mega(
         )
     else:
         analytic = cfg.msaa_mode == "analytic"
-        shaded = FT.render_megakernel(
+        mega = FT.render_megakernel
+        if cfg.rasterizer == "hybrid":
+            from ..kernels import frame_hybrid as FH
+
+            mega = FH.render_megakernel_hybrid
+        shaded = mega(
             ft, tables, lights, cfg.rim_light_intensity, eye_pos, inv_vp,
             hp=dims.hp, wp=dims.wp,
             n_samples=1 if analytic else cfg.msaa_samples,
@@ -546,7 +551,12 @@ def render_crowd_mega(
         )  # (C, 2*O_CH, hp, wp)
     else:
         analytic = cfg.msaa_mode == "analytic"
-        shaded = FT.render_megakernel(
+        mega = FT.render_megakernel
+        if cfg.rasterizer == "hybrid":
+            from ..kernels import frame_hybrid as FH
+
+            mega = FH.render_megakernel_hybrid
+        shaded = mega(
             st, tables, lights, cfg.rim_light_intensity, eye_pos, inv_vp,
             hp=dims.hp, wp=dims.wp,
             n_samples=1 if analytic else cfg.msaa_samples,

@@ -135,7 +135,7 @@ def test_big_triangle_full_coverage():
     assert (tiles.mean((1, 3)) > 0.5).all()
 
 
-@pytest.mark.parametrize("rasterizer", ["mxu", "stream"])
+@pytest.mark.parametrize("rasterizer", ["mxu", "stream", "hybrid"])
 def test_matmul_rasterizers_match_group(scene, rasterizer):
     """rasterizer="mxu"/"stream" vs the grouped megakernel (interpret mode).
 
@@ -170,6 +170,38 @@ def test_matmul_rasterizers_match_group(scene, rasterizer):
     other = render(rasterizer)
     covered = (group.sum(-1) > 0.01) | (other.sum(-1) > 0.01)
     assert covered.sum() > 100  # sanity: the scene actually draws
+    diff = np.abs(group - other).max(-1)
+    frac_bad = (diff[covered] > 0.02).mean() if covered.any() else 1.0
+    assert frac_bad < 0.15, f"{frac_bad:.4f} of covered pixels differ"
+
+
+def test_hybrid_analytic_matches_group_analytic(scene):
+    """The hybrid (MXU-chunk) kernel in analytic-coverage mode vs the
+    grouped kernel in the same mode: identical coverage math, different
+    plane-evaluation engine (matmul vs per-row FMA) and winner ordering
+    (quantized packed key). Same bound rationale as the test above."""
+    import dataclasses
+
+    s = dict(scene)
+    cfg = dataclasses.replace(
+        scene["cfg"], width=256, height=64, msaa_mode="analytic",
+        albedo_half_visible=False, albedo_half_occluded=False,
+    )
+    dims = pipeline_tpu.make_dims_fast(cfg)
+    packed = SF.pack_materials(s["model"].materials, s["model"].atlas)
+
+    def render(r):
+        c = dataclasses.replace(cfg, rasterizer=r)
+        return np.asarray(pipeline_tpu.render_frame_mega(
+            s["model"], c, dims, packed, s["pos"], s["nrm"],
+            s["cam"].view_proj(), s["cam"].position(), s["lights"],
+            interpret=True,
+        ))
+
+    group = render("group")
+    other = render("hybrid")
+    covered = (group.sum(-1) > 0.01) | (other.sum(-1) > 0.01)
+    assert covered.sum() > 100
     diff = np.abs(group - other).max(-1)
     frac_bad = (diff[covered] > 0.02).mean() if covered.any() else 1.0
     assert frac_bad < 0.15, f"{frac_bad:.4f} of covered pixels differ"
