@@ -52,16 +52,15 @@ class EngineConfig:
     # anti-aliasing mode for the Pallas megakernel paths: "analytic" = ONE
     # center depth test + fractional coverage from exact edge distances;
     # "msaa" = per-sample depth tests with coverage-to-alpha (the
-    # reference's multisample-target setup, engine.ts:72). Analytic is the
-    # default because it is BOTH faster (the 4x sample loop is ~2.5 ms of
-    # the 1080p megakernel, measured r4) and CLOSER to the reference's true
-    # per-sample color resolve: coverage-to-alpha lets an occluded
-    # silhouette fragment that passes one off-center depth sample blend the
-    # occluded layer through (the r3 close-up ghosting, PARITY.md), while
-    # analytic's single center depth test rejects such fragments outright —
-    # bounded against the msaa_resolve="color" oracle by
-    # tests/test_golden_real.py::test_closeup_production_vs_color_oracle.
-    # Divergence from 4x MSAA is bounded by
+    # reference's multisample-target setup, engine.ts:72). "msaa" is the
+    # default because it measures 2.5x CLOSER to the reference's true
+    # per-sample color resolve than analytic on the adversarial close-up
+    # (mean 0.0101 / 1.5% of covered pixels >0.15, vs analytic's 0.0261 /
+    # 5.9% — tests/test_golden_real.py::test_closeup_production_vs_
+    # color_oracle), and bench.py measures this default so the headline
+    # number and the engine config agree. "analytic" trades that fidelity
+    # for speed (the 4x sample loop is ~2.5 ms of the 1080p group
+    # megakernel, measured r4); its divergence from 4x MSAA is bounded by
     # tests/test_render_pipeline.py::test_analytic_aa_close_to_msaa.
     msaa_mode: str = "msaa"
     # MSAA resolve on the XLA reference path: "coverage" folds sample

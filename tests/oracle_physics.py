@@ -99,14 +99,36 @@ def _euler_zxy(q):
     return np.array([ex, ey, ez])
 
 
+def _closest_seg_seg(p1, q1, p2, q2):
+    """Closest points between segments [p1,q1], [p2,q2] (scalar NumPy)."""
+    d1, d2, r = q1 - p1, q2 - p2, p1 - p2
+    a, e = d1 @ d1, d2 @ d2
+    f, c, b = d2 @ r, d1 @ r, d1 @ d2
+    denom = a * e - b * b
+    s = np.clip((b * f - c * e) / denom, 0.0, 1.0) if denom > 1e-12 else 0.0
+    t = np.clip((b * s + f) / e, 0.0, 1.0) if e > 1e-12 else 0.0
+    s = np.clip((b * t - c) / a, 0.0, 1.0) if a > 1e-12 else 0.0
+    return p1 + d1 * s, p2 + d2 * t
+
+
 class OracleWorld:
-    """Bodies with 6-DOF joints (locked linear + angular limits/springs),
-    sequential-impulse solved."""
+    """Bodies with 6-DOF joints (locked linear + angular limits/springs)
+    and optional sphere/capsule CONTACTS (normal + Coulomb friction +
+    restitution rows, accumulated-impulse clamping like
+    btSequentialImpulseConstraintSolver; contact Baumgarte uses Bullet's
+    default erp2 = 0.2, btContactSolverInfo), sequential-impulse solved.
+
+    Contact support models the reference's configuration surface: per-body
+    friction/restitution forwarded from the PMX rigid bodies
+    (physics.ts:242-243 set_m_restitution/set_m_friction), combined
+    multiplicatively like Bullet's default callbacks."""
 
     def __init__(self, pos, quat, inv_mass, inv_inertia_diag, lin_damp,
                  ang_damp, joints, gravity=(0.0, -98.0, 0.0),
                  fixed_h=1.0 / 75.0, max_substeps=10, iterations=10,
-                 erp=0.475, ang_joints=None):
+                 erp=0.475, ang_joints=None, shapes=None,
+                 contact_pairs=None, friction=None, restitution=None,
+                 erp_contact=0.2, slop=0.0):
         self.x = np.array(pos, np.float64)
         self.q = np.array(quat, np.float64)
         self.v = np.zeros_like(self.x)
@@ -133,6 +155,22 @@ class OracleWorld:
         self.iters = iterations
         self.erp = erp
         self.accum = 0.0
+        # contacts: shapes = list of dicts {'r': radius, 'half': capsule
+        # half-height along body-local +Y (0 -> sphere)}; contact_pairs =
+        # (i, j) index pairs eligible for collision
+        self.shapes = shapes
+        self.contact_pairs = contact_pairs or []
+        self.mu = (np.array(friction, np.float64)
+                   if friction is not None else np.zeros(len(self.x)))
+        self.rest = (np.array(restitution, np.float64)
+                     if restitution is not None else np.zeros(len(self.x)))
+        self.erp_c = erp_contact
+        self.slop = slop
+
+    def _segment(self, i):
+        half = self.shapes[i]["half"]
+        axis = _quat_rotate(self.q[i], np.array([0.0, 1.0, 0.0])) * half
+        return self.x[i] - axis, self.x[i] + axis, self.shapes[i]["r"]
 
     def _inv_inertia_world(self, i):
         r = _quat_to_mat(self.q[i])
@@ -201,6 +239,71 @@ class OracleWorld:
                     if k_ang > 1e-12:
                         ang_rows.append((u, c_i, 1.0 / k_ang))
             pre.append((ra, rb, c_err, ia, ib, np.linalg.inv(k), ang_rows))
+
+        # contact narrowphase (capsule-capsule closest points) + row setup
+        contacts = []
+        for (i, j) in self.contact_pairs:
+            pa0, pa1, r_i = self._segment(i)
+            pb0, pb1, r_j = self._segment(j)
+            ci, cj = _closest_seg_seg(pa0, pa1, pb0, pb1)
+            d = cj - ci
+            dist = np.linalg.norm(d)
+            pen = r_i + r_j - dist
+            if pen <= 0.0 or dist < 1e-9:
+                continue
+            n = d / dist  # i -> j
+            point = ci + n * (r_i + (dist - r_i - r_j) * 0.5)
+            ri = point - self.x[i]
+            rj = point - self.x[j]
+            ii = self._inv_inertia_world(i)
+            ij = self._inv_inertia_world(j)
+
+            def k_along(u):
+                return (self.inv_m[i] + self.inv_m[j]
+                        + u @ (_skew(ri) @ ii @ _skew(ri)
+                               + _skew(rj) @ ij @ _skew(rj)) @ (-u))
+
+            # pre-solve approach velocity along n (for restitution)
+            u_rel = ((self.v[j] + np.cross(self.w[j], rj))
+                     - (self.v[i] + np.cross(self.w[i], ri)))
+            vn0 = u_rel @ n
+            e = self.rest[i] * self.rest[j]
+            # separating target velocity e*|vn0| for impacts above the
+            # resting threshold (2 g h, matching the TPU velocity pass)
+            bounce = e * (-vn0) if vn0 < -2.0 * abs(self.g[1]) * h else 0.0
+            # tangent basis
+            t1 = np.cross(n, [1.0, 0.0, 0.0])
+            if np.linalg.norm(t1) < 1e-6:
+                t1 = np.cross(n, [0.0, 0.0, 1.0])
+            t1 /= np.linalg.norm(t1)
+            t2 = np.cross(n, t1)
+            contacts.append({
+                "i": i, "j": j, "n": n, "ri": ri, "rj": rj,
+                "ii": ii, "ij": ij,
+                "kn": 1.0 / max(k_along(n), 1e-12),
+                "kt1": 1.0 / max(k_along(t1), 1e-12),
+                "kt2": 1.0 / max(k_along(t2), 1e-12),
+                "t1": t1, "t2": t2,
+                # impulse drives (vn + bias) -> 0, so final vn = -bias =
+                # erp2/h * penetration + restitution target (separating)
+                "bias": -(self.erp_c / h) * max(pen - self.slop, 0.0)
+                        - bounce,
+                "mu": self.mu[i] * self.mu[j],
+                "ln": 0.0, "lt1": 0.0, "lt2": 0.0,
+            })
+
+        def contact_vel(c):
+            i, j = c["i"], c["j"]
+            return ((self.v[j] + np.cross(self.w[j], c["rj"]))
+                    - (self.v[i] + np.cross(self.w[i], c["ri"])))
+
+        def contact_apply(c, p):
+            i, j = c["i"], c["j"]
+            self.v[i] -= p * self.inv_m[i]
+            self.w[i] -= c["ii"] @ np.cross(c["ri"], p)
+            self.v[j] += p * self.inv_m[j]
+            self.w[j] += c["ij"] @ np.cross(c["rj"], p)
+
         for _ in range(self.iters):
             for (a, b, la, lb), (ra, rb, c_err, ia, ib, kinv, ang_rows) in \
                     zip(self.joints, pre):
@@ -217,6 +320,25 @@ class OracleWorld:
                     lam = -(wd + (self.erp / h) * c_i) * kinv_a
                     self.w[a] -= ia @ (ax * lam)
                     self.w[b] += ib @ (ax * lam)
+            # contact rows: normal (accumulated clamp >= 0) then friction
+            # (accumulated clamp |lt| <= mu * ln), Bullet solver ordering
+            for c in contacts:
+                vn = contact_vel(c) @ c["n"]
+                dl = -(vn + c["bias"]) * c["kn"]
+                new = max(c["ln"] + dl, 0.0)
+                dl = new - c["ln"]
+                c["ln"] = new
+                contact_apply(c, c["n"] * dl)
+                lim = c["mu"] * c["ln"]
+                for tk, kk, ax in (("lt1", "kt1", "t1"),
+                                   ("lt2", "kt2", "t2")):
+                    t = c[ax]
+                    vt = contact_vel(c) @ t
+                    dl = -vt * c[kk]
+                    new = np.clip(c[tk] + dl, -lim, lim)
+                    dl = new - c[tk]
+                    c[tk] = new
+                    contact_apply(c, t * dl)
 
         # integrate
         self.x[dyn] += self.v[dyn] * h

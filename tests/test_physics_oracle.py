@@ -198,6 +198,142 @@ def test_hair_regime_tracks_oracle():
         f"(frame {divs.argmax()}, tips {tips_x[divs.argmax()]})")
 
 
+def make_drape_scene(ang_lim=0.8, k_ang=5.0, damping=0.5):
+    """3-link dynamic capsule chain hanging from a static anchor, plus a
+    static horizontal capsule 'leg' it swings onto — the skirt-on-leg
+    contact configuration (VERDICT r4 item 7). Collision masks allow only
+    link<->leg contacts (chain self-collision off, like MMD skirts vs legs:
+    the PMX group/mask tables exclude neighbours)."""
+    n = 5  # 0 anchor, 1..3 links, 4 leg
+    spacing = 2.0
+    f3 = lambda v=0.0: np.full((n, 3), v, np.float32)
+    q0 = np.zeros((n, 4), np.float32)
+    q0[:, 3] = 1
+    nj = 3
+    jq = np.zeros((nj, 4), np.float32)
+    jq[:, 3] = 1
+    half = spacing / 2.0
+    size = np.zeros((n, 3), np.float32)
+    size[0] = [0.3, 0.0, 0.0]              # anchor: small sphere
+    size[1:4] = [0.3, 1.6, 0.0]            # links: capsules r=0.3 h=1.6
+    size[4] = [0.8, 4.0, 0.0]              # leg: capsule r=0.8 h=4.0
+    return PhysicsModel(
+        bone_index=np.arange(n, dtype=np.int32),
+        shape=np.array([0, 2, 2, 2, 2], np.int32),
+        size=size,
+        mass=np.array([0, 1, 1, 1, 0], np.float32),
+        inv_mass=np.array([0, 1, 1, 1, 0], np.float32),
+        inv_inertia_local=np.full((n, 3), 10.0, np.float32),
+        linear_damping=np.full(n, damping, np.float32),
+        angular_damping=np.full(n, damping, np.float32),
+        restitution=np.zeros(n, np.float32),
+        friction=np.full(n, 0.5, np.float32),
+        is_dynamic=np.array([False, True, True, True, False]),
+        no_contact=np.zeros(n, bool),
+        # links in group 0 with mask 2 (collide group 1 only); leg in
+        # group 1 with mask 1 (collide group 0) -> only link<->leg pairs
+        group=np.array([0, 0, 0, 0, 1], np.int32),
+        collision_mask=np.array([0, 2, 2, 2, 1], np.int32),
+        body_offset_pos=f3(),
+        body_offset_quat=q0,
+        bind_pos=f3(),
+        valid=np.ones(n, bool),
+        joint_body_a=np.arange(nj, dtype=np.int32),
+        joint_body_b=np.arange(1, nj + 1, dtype=np.int32),
+        joint_pos_a=np.full((nj, 3), [0, -half, 0], np.float32),
+        joint_quat_a=jq,
+        joint_pos_b=np.full((nj, 3), [0, half, 0], np.float32),
+        joint_quat_b=jq,
+        joint_lin_min=np.zeros((nj, 3), np.float32),
+        joint_lin_max=np.zeros((nj, 3), np.float32),
+        joint_ang_min=np.full((nj, 3), -ang_lim, np.float32),
+        joint_ang_max=np.full((nj, 3), ang_lim, np.float32),
+        joint_spring_lin=np.zeros((nj, 3), np.float32),
+        joint_spring_ang=np.full((nj, 3), k_ang, np.float32),
+        joint_valid=np.ones(nj, bool),
+        n_bodies=n,
+        n_joints=nj,
+    )
+
+
+def test_drape_contact_tracks_oracle():
+    """Contact-regime oracle bound (VERDICT r4 item 7): the capsule chain
+    swings under diagonal gravity onto the static leg capsule and drapes
+    over it. Friction/restitution follow the reference's per-body Bullet
+    config (physics.ts:242-243). The XPBD tip must track the
+    sequential-impulse oracle through impact AND settle to the same draped
+    rest; divergence is measured as a fraction of chain length."""
+    pm = make_drape_scene()
+    spacing = 2.0
+    chain_len = spacing * 3
+    gravity = (60.0, -80.0, 0.0)
+    cfg = EngineConfig(gravity=gravity)
+
+    wp0 = np.array([
+        [0.0, 10.0, 0.0], [0.0, 8.0, 0.0], [0.0, 6.0, 0.0],
+        [0.0, 4.0, 0.0],
+        [2.2, 5.6, 0.0],  # leg axis along Z after the X-90 rotation
+    ])
+    wq0 = np.zeros((5, 4), np.float32)
+    wq0[:, 3] = 1
+    s, c = np.sin(np.pi / 4), np.cos(np.pi / 4)
+    wq0[4] = [s, 0.0, 0.0, c]  # +Y -> +Z: horizontal leg
+
+    pmj = jax.tree.map(jnp.asarray, pm)
+    st = init_state(5)
+    stepf = jax.jit(lambda st_: solver.step(
+        cfg, pmj, st_, jnp.float32(1 / 60), jnp.asarray(wq0),
+        jnp.asarray(wp0)))
+
+    joints = [
+        (i, i + 1, np.array([0.0, -spacing / 2, 0.0]),
+         np.array([0.0, spacing / 2, 0.0]))
+        for i in range(3)
+    ]
+    aj = [dict(ang_min=np.full(3, -0.8), ang_max=np.full(3, 0.8),
+               k_ang=np.full(3, 5.0)) for _ in joints]
+    shapes = [
+        {"r": 0.3, "half": 0.0},
+        {"r": 0.3, "half": 0.8}, {"r": 0.3, "half": 0.8},
+        {"r": 0.3, "half": 0.8},
+        {"r": 0.8, "half": 2.0},
+    ]
+    ow = OracleWorld(
+        pos=wp0, quat=wq0, inv_mass=pm.inv_mass,
+        inv_inertia_diag=pm.inv_inertia_local,
+        lin_damp=pm.linear_damping, ang_damp=pm.angular_damping,
+        joints=joints, gravity=gravity, ang_joints=aj,
+        shapes=shapes, contact_pairs=[(1, 4), (2, 4), (3, 4)],
+        friction=pm.friction, restitution=pm.restitution,
+    )
+
+    divs = []
+    for frame in range(180):
+        _, _, st = stepf(st)
+        ow.step(1 / 60)
+        tip = np.asarray(st.position)[3]
+        divs.append(np.linalg.norm(tip - ow.x[3]) / chain_len)
+    divs = np.asarray(divs)
+
+    assert np.isfinite(np.asarray(st.position)).all()
+    # both must actually rest ON the leg (tip pushed out past the leg
+    # surface, not tunneled through): leg surface plane in the swing (x, y)
+    # is 0.8 + 0.3 from the axis
+    tip_tpu = np.asarray(st.position)[3]
+    for tip in (tip_tpu, ow.x[3]):
+        d_axis = np.linalg.norm(np.array(tip[:2]) - wp0[4][:2])
+        assert d_axis > 0.9, f"tip inside the leg: {tip} (d={d_axis:.2f})"
+    # measured profile (r5): swing-in contact at ~frame 25; peak transient
+    # divergence 0.086 of chain length mid-impact (frame 29, XPBD resolves
+    # penetration positionally while the oracle's Baumgarte pushes through
+    # velocity); settles draped at <0.05. Both rest at the leg surface
+    # (tip-to-axis ~1.1-1.45 vs sum-of-radii 1.1). Bound the worst frame
+    # and the settled tail with ~1.7x margin.
+    assert divs.max() < 0.15, f"contact divergence {divs.max():.3f}"
+    assert divs[150:].max() < 0.10, (
+        f"draped rest mismatch: {divs[150:].max():.3f} of chain length")
+
+
 def test_sphere_drop_restitution_analytic():
     """Dynamic sphere dropped on a static sphere: the post-bounce apex must
     match the analytic e^2 * h within a band."""
