@@ -161,7 +161,10 @@ def run_bench(probe, partial):
         max_tris_per_bin=int(os.environ.get("BENCH_BIN_CAP", 1024)),
         rasterizer=os.environ.get("BENCH_RASTERIZER", "group"),
         msaa_samples=int(os.environ.get("BENCH_MSAA", 4)),
-        msaa_mode=os.environ.get("BENCH_MSAA_MODE", "analytic"),
+        # measure the ENGINE DEFAULT AA mode (msaa: 2.5x closer to the
+        # per-sample color-resolve oracle than analytic, core/types.py) so
+        # the headline number describes the config users actually get
+        msaa_mode=os.environ.get("BENCH_MSAA_MODE", "msaa"),
         enable_physics=os.environ.get("BENCH_PHYSICS", "1") == "1",
         enable_bloom=os.environ.get("BENCH_BLOOM", "1") == "1",
         enable_ik=os.environ.get("BENCH_IK", "1") == "1",
@@ -190,13 +193,17 @@ def run_bench(probe, partial):
     def bench_config(c, c_model=None):
         if c_model is None:
             c_model = model
-        step = make_step(c_model, c, dims)
+        # model as a jit ARGUMENT: closure-captured model arrays become HLO
+        # literals, and the parity config's full-res level-0 quad atlas
+        # pushed the serialized program past the compile tunnel's request
+        # cap (HTTP 413, BENCH_r04/r05 parity legs)
+        step = make_step(c_model, c, dims, model_as_arg=True)
         state = init_scene_state(c_model).replace(playing=jnp.array(True))
 
-        def run_n(state, n_frames):
+        def run_n(mdl, state, n_frames):
             def body(carry, _):
                 s, _ = carry
-                s2, frame = step(s, dt, vp, eye, lights, track, breath)
+                s2, frame = step(mdl, s, dt, vp, eye, lights, track, breath)
                 return (s2, frame), None
 
             (s, frame), _ = jax.lax.scan(
@@ -205,18 +212,18 @@ def run_bench(probe, partial):
             )
             return s, frame
 
-        run = jax.jit(run_n, static_argnums=(1,), donate_argnums=(0,))
+        run = jax.jit(run_n, static_argnums=(2,), donate_argnums=(1,))
         t0 = time.time()
         # warm with the MEASURED length: n is static, so warming with a
         # different n compiles a different program and rep 1 then pays a
         # second full compile (measured: 83 s "rep" -> 0.12 FPS artifact)
-        state, frame = run(state, FRAMES)
+        state, frame = run(c_model, state, FRAMES)
         jax.block_until_ready(frame)
         compile_s = time.time() - t0
         best = 0.0
         for _ in range(REPS):
             t0 = time.time()
-            state, frame = run(state, FRAMES)
+            state, frame = run(c_model, state, FRAMES)
             jax.block_until_ready(frame)
             best = max(best, FRAMES / (time.time() - t0))
         return best, compile_s

@@ -60,15 +60,12 @@ N_PX = TILE_H * TILE_W
 # pixel-major state lane slots
 S_Z0 = 0    # center depth (analytic) / 4 sample depths (msaa)
 S_WON = 4   # max coverage (analytic) / 4 sample hit flags (msaa)
-S_BEST = 8  # packed best key (bitcast i32): z<<13 | (8191 - seg id)
+S_BEST = 8  # winner's center z (f32 exact; 2.0 = no winner yet)
 S_FRAG = 16  # resolved winner row cols 8:40 [.. za zb zc .. code ig attrs]
 S_STACK = 64  # 2 * L_CH stack channels (64:88)
 S_STEN = 88  # stencil
 F_W = 32    # resolved fragment width (row cols 8:40)
 R_LO = 8    # first resolved row column
-
-ZQ = float(1 << 18)
-IDB = 1 << 13
 
 
 def _hi_lo(x):
@@ -80,21 +77,21 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _bcast_exact(col, n=CHUNK):
-    """(1024, 1) f32 -> (1024, n) lane broadcast, exact to a Dekker split
-    (bf16 hi + f32 residual riding two DEFAULT-precision ones-matmuls)."""
-    ones = jnp.ones((1, n), jnp.float32)
-    hi, lo = _hi_lo(col)
-    return _dot(hi, ones) + _dot(lo, ones)
-
-
-def _bcast_small(col, n=CHUNK):
-    """(1024, 1) -> (1024, n) for values bf16-exact as-is (flags, ids)."""
-    return _dot(col, jnp.ones((1, n), jnp.float32))
+def _dot3(onehot, cols):
+    """EXACT one-hot row gather via the MXU. DEFAULT-precision dots round
+    both operands to bf16, so a plain dot(onehot, cols) corrupts f32 row
+    values (that was the round-5 on-chip 41%-of-pixels parity bug: global
+    pixel coords and attribute planes are not bf16-exact). A 3-way split
+    keeps 8+8+8 significand bits >= f32's 24; the selected value's three
+    parts have disjoint exponent ranges, so the f32 sum reconstructs it
+    exactly."""
+    h1, r1 = _hi_lo(cols)
+    h2, r2 = _hi_lo(r1)
+    return _dot(onehot, h1) + _dot(onehot, h2) + _dot(onehot, r2)
 
 
 def _process_chunk(
-    state_ref, buf, pxy_ref, x0, y0, base, left,
+    state_ref, buf, pxy_ref, x0, y0, left,
     *, n_samples, depth_write, analytic,
 ):
     """Rasterize one <=128-pair chunk (pairs beyond ``left`` masked) into
@@ -110,25 +107,40 @@ def _process_chunk(
     row2 = jax.lax.broadcasted_iota(jnp.int32, quad.shape, 0) == 2
     fold = quad[0:1, :] * x0 + quad[1:2, :] * y0
     quad = quad + jnp.where(row2, fold, 0.0)
-    qh, ql = _hi_lo(quad)
 
     lane = jax.lax.broadcasted_iota(
         jnp.int32, (8, CHUNK), 1)[0:1, :]  # (1, 128) i32
     lanef = lane.astype(jnp.float32)
     validf = (lanef < left).astype(jnp.float32)
+    pxy = pxy_ref[...]  # (1024, 8) tile-local [x+.5, y+.5, 1, 0..]: the
+    # center coords are bf16-EXACT (x+0.5 = (2x+1)/2 <= 255/2: 8-bit
+    # significand), so the DEFAULT-precision dot rounds them losslessly
 
-    def planes(si):
-        pxy = pxy_ref[:, 8 * si:8 * si + 8]  # (1024, 8) bf16-exact
-        E = _dot(pxy, qh) + _dot(pxy, ql)  # (1024, 512)
+    def planes(dx, dy):
+        q = quad
+        if dx != 0.0 or dy != 0.0:
+            # sample-offset pixel coords are NOT bf16-exact (x+0.5+1/8
+            # needs a 10-bit significand — the other round-5 on-chip
+            # parity bug), so fold the offset into the constants instead:
+            # e(x+dx, y+dy) = a x + b y + (c + a dx + b dy)
+            off = quad[0:1, :] * dx + quad[1:2, :] * dy
+            q = quad + jnp.where(row2, off, 0.0)
+        # 3-way bf16 split: plane values exact to a few f32 ulps. The
+        # 2-way split's ~2^-16-relative z error flipped depth tests and
+        # winner picks against the grouped kernel on MMD's near-coplanar
+        # layered geometry (measured on-chip r5: 11% of covered pixels)
+        qh, r = _hi_lo(q)
+        qm, ql = _hi_lo(r)
+        E = _dot(pxy, qh) + _dot(pxy, qm) + _dot(pxy, ql)  # (1024, 512)
         return (E[:, 0:CHUNK], E[:, CHUNK:2 * CHUNK],
                 E[:, 2 * CHUNK:3 * CHUNK], E[:, 3 * CHUNK:4 * CHUNK])
 
     if analytic:
-        se0, se1, se2, zz = planes(n_samples)  # center block
-        zb = _bcast_exact(state_ref[:, S_Z0:S_Z0 + 1])
+        se0, se1, se2, zz = planes(0.0, 0.0)
+        zcol = state_ref[:, S_Z0:S_Z0 + 1]  # (1024, 1) implicit broadcast
         cov = (jnp.clip(se0 + 0.5, 0.0, 1.0) * jnp.clip(se1 + 0.5, 0.0, 1.0)
                * jnp.clip(se2 + 0.5, 0.0, 1.0)) * validf
-        zok = (zz <= zb) & (zz >= 0.0) & (zz <= 1.0)
+        zok = (zz <= zcol) & (zz >= 0.0) & (zz <= 1.0)
         any_pass = (cov > 0.0) & zok
         center = (se0 >= 0) & (se1 >= 0) & (se2 >= 0) & zok & (validf > 0)
         if depth_write:
@@ -141,73 +153,73 @@ def _process_chunk(
             jnp.max(jnp.where(any_pass, cov, 0.0), axis=1, keepdims=True))
         zc = zz
     else:
-        zb_cols = state_ref[:, S_Z0:S_Z0 + n_samples]  # (1024, n)
         any_pass = None
         for s in range(n_samples):
-            se0, se1, se2, zz = planes(s)
+            se0, se1, se2, zz = planes(*SAMPLE_OFFSETS[s])
             inside = (se0 >= 0) & (se1 >= 0) & (se2 >= 0) & (validf > 0)
-            zb = _bcast_exact(zb_cols[:, s:s + 1])
-            passed = inside & (zz <= zb) & (zz >= 0.0) & (zz <= 1.0)
+            zcol = state_ref[:, S_Z0 + s:S_Z0 + s + 1]
+            passed = inside & (zz <= zcol) & (zz >= 0.0) & (zz <= 1.0)
             zmin_s = jnp.min(jnp.where(passed, zz, 2.0), axis=1,
                              keepdims=True)
             if depth_write:
                 state_ref[:, S_Z0 + s:S_Z0 + s + 1] = jnp.minimum(
-                    zb_cols[:, s:s + 1], zmin_s)
+                    zcol, zmin_s)
             state_ref[:, S_WON + s:S_WON + s + 1] = jnp.maximum(
                 state_ref[:, S_WON + s:S_WON + s + 1],
                 (zmin_s < 2.0).astype(jnp.float32))
             any_pass = passed if any_pass is None else (any_pass | passed)
-        se0, se1, se2, zc = planes(n_samples)  # center (winner z ordering)
+        se0, se1, se2, zc = planes(0.0, 0.0)  # center (winner z ordering)
 
-    # winner: packed (quantized z, reversed SEGMENT-GLOBAL draw id)
-    # min-reduce. Gate = passed ANY sample / has coverage (grouped rule).
-    zq = jnp.clip(zc * ZQ, 0.0, ZQ - 1.0).astype(jnp.int32)
-    gid = jnp.minimum(base + lane, IDB - 1)
-    key = (zq << 13) | (IDB - 1 - gid)
-    key = jnp.where(any_pass, key, jnp.int32(2 ** 31 - 1))
-    kmin = jnp.min(key, axis=1, keepdims=True)  # (1024, 1) i32
-    best = jax.lax.bitcast_convert_type(
-        state_ref[:, S_BEST:S_BEST + 1], jnp.int32)
-    new_best = jnp.minimum(best, kmin)
-    state_ref[:, S_BEST:S_BEST + 1] = jax.lax.bitcast_convert_type(
-        new_best, jnp.float32)
+    # winner: EXACT f32 z compare with draw-order ties — the grouped
+    # kernel's semantics (latest-drawn pair at min z). Within the chunk:
+    # max lane id among z == zmin. Across chunks: ids grow with chunk, so
+    # a tie (zmin == best) goes to the LATER chunk via <=. (The earlier
+    # packed-key formulation quantized z to 2^-18, which collapsed MMD's
+    # near-coplanar layers into draw-order ties the grouped kernel
+    # resolves by depth — 1 in 9 covered pixels flipped winners on-chip.)
+    zmask = jnp.where(any_pass, zc, 2.0)
+    zmin = jnp.min(zmask, axis=1, keepdims=True)  # (1024, 1)
+    cand = jnp.where(zmask == zmin, lanef, -1.0)
+    win_lane = jnp.max(cand, axis=1, keepdims=True)  # (1024, 1) f32
+    best_z = state_ref[:, S_BEST:S_BEST + 1]
+    won_now = (zmin < 2.0) & (zmin <= best_z)
+    state_ref[:, S_BEST:S_BEST + 1] = jnp.where(won_now, zmin, best_z)
 
-    # resolve the winner's row columns 8:40 for pixels this chunk won.
-    # chunks own disjoint id ranges, so id-in-range means this chunk won;
-    # the one-hot broadcast rides the CHUNK-LOCAL id (< 128, bf16-exact)
-    local = (IDB - 1 - (new_best & (IDB - 1))) - base
-    won_now = (new_best < 2 ** 31 - 1) & (local >= 0) & (local < CHUNK)
-    onehot = (_bcast_small(local.astype(jnp.float32))
-              == jnp.broadcast_to(lanef, (N_PX, CHUNK))).astype(jnp.float32)
+    # resolve the winner's row columns 8:40 for pixels this chunk won
+    onehot = ((win_lane == lanef)
+              & won_now).astype(jnp.float32)  # (1024, 128)
     cols = buf[:, R_LO:R_LO + F_W]  # (128, 32): za zb zc .. code .. attrs
-    ch, cl = _hi_lo(cols)
-    frag = _dot(onehot, ch) + _dot(onehot, cl)  # (1024, 32)
-    wb = _bcast_small(won_now.astype(jnp.float32), F_W)
-    state_ref[:, S_FRAG:S_FRAG + F_W] = (
-        frag * wb + state_ref[:, S_FRAG:S_FRAG + F_W] * (1.0 - wb))
+    frag = _dot3(onehot, cols)  # (1024, 32) exact gather
+    state_ref[:, S_FRAG:S_FRAG + F_W] = jnp.where(
+        won_now, frag, state_ref[:, S_FRAG:S_FRAG + F_W])
 
 
 def _push_pass(
-    state_ref, px_g, py_g,
+    state_ref, px_l, py_l, x0, y0,
     *, outline, write_stencil, use_stencil, n_samples, analytic,
 ):
     """Push the pass's resolved fragments onto the pixel-major 2-layer
     stack. Fragment columns are raw row cols 8:40: z plane at 1:4
-    (za zb zc), packed code at 6, attribute planes at 11:29."""
+    (za zb zc), packed code at 6, attribute planes at 11:29.
+
+    ``px_l``/``py_l`` are TILE-LOCAL center coords (1024, 1); the tile
+    origin folds into the plane constants like frame_tpu._process_group
+    (global coords reach 1919.5, which matters if any op ever routes them
+    through a bf16-rounding path, and tile-local keeps rounding consistent
+    with the grouped kernel's attribute evaluation)."""
     st = state_ref[...]
     if analytic:
         cover = st[:, S_WON:S_WON + 1]
     else:
         cover = sum(st[:, S_WON + s:S_WON + s + 1]
                     for s in range(n_samples)) * (1.0 / n_samples)
-    best = jax.lax.bitcast_convert_type(st[:, S_BEST:S_BEST + 1], jnp.int32)
-    hit = (best < jnp.int32(2 ** 31 - 1)).astype(jnp.float32)
+    hit = (st[:, S_BEST:S_BEST + 1] < 2.0).astype(jnp.float32)
 
     frag = st[:, S_FRAG:S_FRAG + F_W]
     za = frag[:, 1:2]
     zb = frag[:, 2:3]
     zcc = frag[:, 3:4]
-    z_exact = za * px_g + zb * py_g + zcc  # f32 winner z at pixel center
+    z_exact = za * px_l + zb * py_l + (zcc + za * x0 + zb * y0)
     code = jnp.round(frag[:, 6:7]).astype(jnp.int32)
     alpha = (code & 1023).astype(jnp.float32) * (1.0 / 1023.0)
     rest = code >> 10
@@ -220,7 +232,7 @@ def _push_pass(
     a6 = frag[:, 11:17]
     b6 = frag[:, 17:23]
     c6 = frag[:, 23:29]
-    attrs = a6 * _bcast_small(px_g, 6) + b6 * _bcast_small(py_g, 6) + c6
+    attrs = a6 * px_l + b6 * py_l + (c6 + a6 * x0 + b6 * y0)
 
     a = alpha
     if use_stencil:
@@ -245,11 +257,10 @@ def _push_pass(
         gids,
     ], axis=1)
 
-    disp = _bcast_small(translucent * l1p, L)
-    opq = _bcast_small(opaque, L)
-    new_l0 = (1.0 - opq) * (disp * l1 + (1.0 - disp) * l0)
-    pres = _bcast_small(present, L)
-    new_l1 = pres * fstack + (1.0 - pres) * l1
+    # (1024, 1) masks broadcast implicitly against the (1024, L) layers
+    disp = translucent * l1p
+    new_l0 = (1.0 - opaque) * (disp * l1 + (1.0 - disp) * l0)
+    new_l1 = present * fstack + (1.0 - present) * l1
     state_ref[:, S_STACK:S_STACK + L] = new_l0
     state_ref[:, S_STACK + L:S_STACK + 2 * L] = new_l1
 
@@ -262,7 +273,7 @@ def _push_pass(
 def _frame_kernel_hybrid(
     starts_ref, counts_ref,  # SMEM (1, N_PASSES, B)
     rows_hbm,  # ANY (CAP + CHUNK, ROW_W); leading C axis when batched
-    pxy_ref,  # VMEM (1024, 48): per-sample [x y 1 0..] blocks, tile-local
+    pxy_ref,  # VMEM (1024, 8): tile-local [x+.5, y+.5, 1, 0..] (bf16-exact)
     knot_ref, tex_ref, edge_ref, ldir_ref, lcol_ref, misc_ref, inv_vp_ref,
     out_ref,  # (2*O_CH, 8, 128) block
     state_ref,  # scratch (1024, 128) pixel-major
@@ -291,10 +302,9 @@ def _frame_kernel_hybrid(
     ones_col = jnp.ones((N_PX, 1), jnp.float32)
     for s in range(1 if analytic else n_samples):
         state_ref[:, S_Z0 + s:S_Z0 + s + 1] = ones_col
-    sent = jax.lax.bitcast_convert_type(
-        jnp.full((N_PX, 1), 2 ** 31 - 1, jnp.int32), jnp.float32)
-    px_g = pxy_ref[:, 8 * n_samples:8 * n_samples + 1] + x0  # (1024, 1)
-    py_g = pxy_ref[:, 8 * n_samples + 1:8 * n_samples + 2] + y0
+    sent = jnp.full((N_PX, 1), 2.0, jnp.float32)  # z sentinel: no winner
+    px_l = pxy_ref[:, 0:1]  # (1024, 1) tile-local center coords
+    py_l = pxy_ref[:, 1:2]
 
     for p, (outline, depth_write, write_stencil, use_stencil) in enumerate(
             PASS_CFG):
@@ -330,8 +340,8 @@ def _frame_kernel_hybrid(
 
                 def use(buf):
                     _process_chunk(
-                        state_ref, buf[...], pxy_ref, x0, y0, ci * CHUNK,
-                        left, n_samples=n_samples, depth_write=depth_write,
+                        state_ref, buf[...], pxy_ref, x0, y0, left,
+                        n_samples=n_samples, depth_write=depth_write,
                         analytic=analytic,
                     )
 
@@ -347,7 +357,7 @@ def _frame_kernel_hybrid(
 
             jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
             _push_pass(
-                state_ref, px_g, py_g,
+                state_ref, px_l, py_l, x0, y0,
                 outline=outline, write_stencil=write_stencil,
                 use_stencil=use_stencil, n_samples=n_samples,
                 analytic=analytic,
@@ -429,19 +439,14 @@ def render_megakernel_hybrid(
         jnp.full((c_dim,), lod_bias[1], jnp.float32),
     ], axis=1)  # (C, 8)
 
+    # ONE center coordinate block; sample offsets fold into the plane
+    # constants in-kernel (offset pixel coords are not bf16-exact)
     ii = np.arange(N_PX)
-    pxy = np.zeros((N_PX, 48), np.float32)
-    ns_eff = 1 if analytic else n_samples
-    for si in range(ns_eff + 1):
-        if analytic or si >= n_samples:
-            dx, dy = 0.0, 0.0
-        else:
-            dx, dy = SAMPLE_OFFSETS[si]
-        pxy[:, 8 * si + 0] = ii % TILE_W + 0.5 + dx
-        pxy[:, 8 * si + 1] = ii // TILE_W + 0.5 + dy
-        pxy[:, 8 * si + 2] = 1.0
-    # the kernel indexes the center block at 8 * n_samples
-    ns_kernel = ns_eff
+    pxy = np.zeros((N_PX, 8), np.float32)
+    pxy[:, 0] = ii % TILE_W + 0.5
+    pxy[:, 1] = ii // TILE_W + 0.5
+    pxy[:, 2] = 1.0
+    ns_kernel = 1 if analytic else n_samples
 
     kernel = functools.partial(
         _frame_kernel_hybrid, bx=bx, wp=wp, hp=hp, n_samples=ns_kernel,
