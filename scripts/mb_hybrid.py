@@ -149,7 +149,9 @@ def make_kernel(variant, n_segs, n_chunks):
                 sem_ref.at[0]).wait()
 
             def body(i, acc):
-                buf_ref[0, 0, 0] = buf_ref[0, 0, 0] + acc[0, 0] * 1e-20
+                # data-dependence so the loop isn't hoisted (block store:
+                # Mosaic cannot store scalars to VMEM)
+                buf_ref[0, 0:1, 0:1] = buf_ref[0, 0:1, 0:1] + acc * 1e-20
                 bt = buf_ref[0].T
                 return acc + bt[1:2, 0:1]
             acc = jax.lax.fori_loop(
