@@ -38,6 +38,7 @@ applied at setup, 4x MSAA per-sample depth with coverage-to-alpha).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -54,7 +55,16 @@ TILE_W = 128
 DEBUG_DEPTH_ONLY = False
 DEBUG_NO_WINNER_GATE = False
 CHUNK = 128  # pairs per DMA chunk (x128 f32 row = 64 KB)
-GROUP = 8  # pairs per sublane group
+# pairs per sublane group. Bigger groups amortize the winner/update ops
+# (reduces + (1,128) gbuf selects) over more pairs at the cost of coarser
+# tail masking and a wider y band; RZ_GROUP sweeps it on hardware.
+GROUP = int(os.environ.get("RZ_GROUP", "8"))
+# y-band row loop: pairs are ymin-row sorted, so a group's triangles span
+# a narrow band of the 8 tile rows; a dynamic fori_loop over just that
+# band replaces the static 8-row unroll (rows outside the band are pure
+# wasted vector work — planes, 4 sample tests and a winner on an all-false
+# any_pass).
+YBAND = os.environ.get("RZ_YBAND", "0") == "1"
 ROW_W = 128  # f32 lanes per pair row (HBM DMA slices must be 128-aligned)
 
 # pair-row column layout
@@ -88,10 +98,12 @@ PASS_CFG = (
 )
 N_PASSES = len(PASS_CFG)
 
-# pass-gbuf scratch channels
+# pass-gbuf scratch channels. There is no coverage channel: G_Z is reset
+# to 2.0 per pass and any winner write leaves it < 2.0, so "this pixel has
+# a fragment" is G_Z < 2.0 — saves a select + store per (group, row)
 G_UIW, G_VIW, G_NXIW, G_NYIW, G_NZIW, G_IW, G_Z, G_ALPHA, G_HAIR, G_RAMP, \
-    G_TEX, G_EDGE, G_COVER = range(13)
-G_CH = 13
+    G_TEX, G_EDGE = range(12)
+G_CH = 12
 
 
 class FrameTables(NamedTuple):
@@ -288,6 +300,7 @@ def pack_frame_rows(parts, by: int, bx: int) -> "FrameTables":
 def _process_group(
     buf_ref, g, base_left, x0f, y0f, xs8, s_iota, zbuf_ref, gbuf_ref, won_ref,
     *, n_samples, depth_write, with_attrs, analytic=False,
+    group=8, yband=False,
 ):
     """Rasterize one group of 8 pairs (sublane = pair) into the (8, 128)
     tile. All 8 rows are statically addressed vreg ops.
@@ -297,17 +310,17 @@ def _process_group(
     instead of the n-sample loop. Depth writes stay center-gated so the AA
     halo never occludes background geometry.
     """
-    rows = buf_ref[pl.ds(g * GROUP, GROUP), :]  # (8, ROW_W)
-    valid = s_iota < base_left  # (8, 1): pairs beyond the segment masked off
+    rows = buf_ref[pl.ds(g * group, group), :]  # (group, ROW_W)
+    valid = s_iota < base_left  # (GROUP, 1): pairs beyond the segment off
 
     def col(i):
-        return rows[:, i:i + 1]  # (8, 1)
+        return rows[:, i:i + 1]  # (GROUP, 1)
 
     ea0, eb0, ec0 = col(0), col(1), col(2)
     ea1, eb1, ec1 = col(3), col(4), col(5)
     ea2, eb2, ec2 = col(6), col(7), col(8)
     za, zb, zc = col(9), col(10), col(11)
-    # fold the tile origin into the plane constants ((8,1) scalar FMAs):
+    # fold the tile origin into the plane constants ((GROUP,1) scalar FMAs):
     # evaluating at tile-local coordinates keeps the f32 rounding constant
     # per tile, so z-ties on near-coplanar geometry resolve consistently
     # (the global formulation flips them in pixel-row bands at 1080p)
@@ -317,12 +330,12 @@ def _process_group(
     zc = zc + za * x0f + zb * y0f
 
     # x-parts of the edge/depth planes (reused across rows)
-    ex0 = ea0 * xs8 + ec0  # (8, 128)
+    ex0 = ea0 * xs8 + ec0  # (GROUP, 128)
     ex1 = ea1 * xs8 + ec1
     ex2 = ea2 * xs8 + ec2
     zx = za * xs8 + zc
 
-    # per-sample plane offsets (8, 1)
+    # per-sample plane offsets (GROUP, 1)
     offs = []
     if not analytic:
         for s in range(n_samples):
@@ -340,10 +353,12 @@ def _process_group(
             a = col(C_ATTR + ch)
             bb = col(C_ATTR + 6 + ch)
             cc = col(C_ATTR + 12 + ch) + a * x0f + bb * y0f
-            acols.append((a, bb, cc))
+            # hoist the row-invariant x part: per row the attribute plane
+            # is axc + bb*ys — one FMA instead of two
+            acols.append((a * xs8 + cc, bb))
     code_col = col(C_ALPHA)
 
-    def winner(y, ys, zz, any_pass):
+    def winner(idx, ys, zz, any_pass):
         zmask = jnp.where(any_pass, zz, 2.0)
         zmin = jnp.min(zmask, axis=0, keepdims=True)  # (1, 128)
         # winner: latest-drawn pair at min z (draw-order ties)
@@ -351,30 +366,28 @@ def _process_group(
         win = jnp.max(cand, axis=0, keepdims=True)
         mask = (s_iota == win) & any_pass  # one-hot over sublanes
         maskf = mask.astype(jnp.float32)
-        cur_z = gbuf_ref[G_Z, y:y + 1, :]
-        hit = gbuf_ref[G_COVER, y:y + 1, :] > 0.0
-        upd = ((zmin <= cur_z) | jnp.logical_not(hit)) & (zmin < 2.0)
+        cur_z = gbuf_ref[G_Z, idx, :]
+        # G_Z resets to 2.0 per pass, so zmin < 2.0 implies "real fragment"
+        # and beats the reset value — no separate coverage channel needed
+        upd = (zmin <= cur_z) & (zmin < 2.0)
 
         def msum(vals):
             return jnp.sum(maskf * vals, axis=0, keepdims=True)
 
         def put(ch, val):
-            gbuf_ref[ch, y:y + 1, :] = jnp.where(
-                upd, val, gbuf_ref[ch, y:y + 1, :]
-            )
+            gbuf_ref[ch, idx, :] = jnp.where(upd, val, gbuf_ref[ch, idx, :])
 
         put(G_Z, zmin)
         put(G_ALPHA, msum(code_col))
         if with_attrs:
             for ch in range(6):
-                a, bb, cc = acols[ch]
-                put(G_UIW + ch, msum(a * xs8 + bb * ys + cc))
-        gbuf_ref[G_COVER, y:y + 1, :] = jnp.where(
-            upd, 1.0, gbuf_ref[G_COVER, y:y + 1, :]
-        )
+                axc, bb = acols[ch]
+                put(G_UIW + ch, msum(axc + bb * ys))
 
-    for y in range(TILE_H):
-        ys = y + 0.5  # tile-local (plane constants pre-baked per bin)
+    def row_body(y):
+        idx = pl.ds(y, 1)
+        ys = (y * 1.0 if isinstance(y, int)
+              else y.astype(jnp.float32)) + 0.5  # tile-local
         e0 = ex0 + eb0 * ys
         e1 = ex1 + eb1 * ys
         e2 = ex2 + eb2 * ys
@@ -384,44 +397,65 @@ def _process_group(
             cov = (jnp.clip(e0 * ig0 + 0.5, 0.0, 1.0)
                    * jnp.clip(e1 * ig1 + 0.5, 0.0, 1.0)
                    * jnp.clip(e2 * ig2 + 0.5, 0.0, 1.0))
-            zrow = zbuf_ref[0, y:y + 1, :]
-            zok = (zz <= zrow) & (zz >= 0.0) & (zz <= 1.0)
+            zrow = zbuf_ref[0, idx, :]
+            # no z <= 1 test: zrow <= 1 is a kernel invariant (init 1.0,
+            # min-writes only), so z <= zrow subsumes it
+            zok = (zz <= zrow) & (zz >= 0.0)
             any_pass = (cov > 0.0) & valid & zok
-            # depth: center-covered fragments only
-            center = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & valid & zok
+            # depth: center-covered fragments only (min-tree folds the
+            # three edge tests and the near-plane test into one compare)
+            mn = jnp.minimum(jnp.minimum(e0, e1), jnp.minimum(e2, zz))
+            center = (mn >= 0) & (zz <= zrow) & valid
             zmin_c = jnp.min(jnp.where(center, zz, 2.0), axis=0,
                              keepdims=True)
             if depth_write:
-                zbuf_ref[0, y:y + 1, :] = jnp.minimum(zrow, zmin_c)
-            won_ref[0, y:y + 1, :] = jnp.maximum(
-                won_ref[0, y:y + 1, :],
+                zbuf_ref[0, idx, :] = jnp.minimum(zrow, zmin_c)
+            won_ref[0, idx, :] = jnp.maximum(
+                won_ref[0, idx, :],
                 jnp.max(jnp.where(any_pass, cov, 0.0), axis=0,
                         keepdims=True),
             )
         else:
             for s in range(n_samples):
                 o0, o1, o2, oz = offs[s]
-                inside = (
-                    ((e0 + o0) >= 0) & ((e1 + o1) >= 0) & ((e2 + o2) >= 0) & valid
-                )
                 zs = zz + oz
-                zrow = zbuf_ref[s, y:y + 1, :]  # (1, 128) static
-                passed = inside & (zs <= zrow) & (zs >= 0.0) & (zs <= 1.0)
+                zrow = zbuf_ref[s, idx, :]  # (1, 128)
+                # min-tree: all three edges >= 0 AND zs >= 0 in one compare;
+                # zs <= 1 is subsumed by zs <= zrow (zrow <= 1 invariant)
+                mn = jnp.minimum(jnp.minimum(e0 + o0, e1 + o1),
+                                 jnp.minimum(e2 + o2, zs))
+                passed = (mn >= 0) & (zs <= zrow) & valid
                 zmin_s = jnp.min(jnp.where(passed, zs, 2.0), axis=0, keepdims=True)
                 if depth_write:
-                    zbuf_ref[s, y:y + 1, :] = jnp.minimum(zrow, zmin_s)
-                won_ref[s, y:y + 1, :] = jnp.maximum(
-                    won_ref[s, y:y + 1, :],
+                    zbuf_ref[s, idx, :] = jnp.minimum(zrow, zmin_s)
+                won_ref[s, idx, :] = jnp.maximum(
+                    won_ref[s, idx, :],
                     jnp.max(passed.astype(jnp.float32), axis=0, keepdims=True),
                 )
                 any_pass = passed if any_pass is None else (any_pass | passed)
 
-        if DEBUG_DEPTH_ONLY:
-            continue
+        if not DEBUG_DEPTH_ONLY:
+            # unconditional: a per-row pl.when gate (scalar reduce + branch)
+            # costs more than the winner body it would skip
+            winner(idx, ys, zz, any_pass)
 
-        # unconditional: a per-row pl.when gate (scalar reduce + branch)
-        # costs more than the winner body it would skip
-        winner(y, ys, zz, any_pass)
+    if yband:
+        # pairs are (bin, ymin-row, id)-sorted, so the group's triangles
+        # span a narrow row band: loop only [r0, r1]. Bounds are
+        # conservative for both modes (sample offsets <= 0.375 px; the
+        # analytic halo reaches 0.5 px past an edge).
+        big = jnp.float32(1e9)
+        y0g = jnp.min(jnp.where(valid, col(C_YMIN), big))
+        y1g = jnp.max(jnp.where(valid, col(C_YMAX), -big))
+        r0 = jnp.clip(jnp.floor(y0g - y0f).astype(jnp.int32) - 1,
+                      0, TILE_H - 1)
+        r1 = jnp.clip(jnp.floor(y1g - y0f).astype(jnp.int32) + 1,
+                      0, TILE_H - 1)
+        jax.lax.fori_loop(r0, r1 + 1,
+                          lambda y, c: (row_body(y), c)[1], 0)
+    else:
+        for y in range(TILE_H):
+            row_body(y)
 
 
 def _push_pass(
@@ -433,7 +467,7 @@ def _push_pass(
     for s in range(n_samples):
         cover = cover + won_ref[s]
     cover = cover * (1.0 / n_samples)
-    hit = gbuf_ref[G_COVER] > 0.0
+    hit = gbuf_ref[G_Z] < 2.0  # G_Z resets to 2.0; winners write < 2.0
 
     # decode the packed material code:
     # [alpha*1023 | ramp<4b> | tex<4b> | edge<4b> | hair<1b>]
@@ -488,6 +522,7 @@ def _frame_kernel(
     *,
     bx: int, wp: int, hp: int, n_samples: int, kr: int, kt: int, ke: int,
     n_levels: int, batched: bool = False, analytic: bool = False,
+    group: int = GROUP, yband: bool = YBAND,
 ):
     if batched:
         # grid (C, by, bx): one character per leading grid step; misc and
@@ -513,10 +548,10 @@ def _frame_kernel(
 
     # plane constants are pre-baked per bin: evaluate in tile-local coords
     xs8 = (
-        jax.lax.broadcasted_iota(jnp.int32, (GROUP, TILE_W), 1).astype(jnp.float32)
+        jax.lax.broadcasted_iota(jnp.int32, (group, TILE_W), 1).astype(jnp.float32)
         + 0.5
     )
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0).astype(jnp.float32)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (group, 1), 0).astype(jnp.float32)
 
     for p, (outline, depth_write, write_stencil, use_stencil) in enumerate(PASS_CFG):
         start = starts_ref[0, p, b]
@@ -525,6 +560,7 @@ def _frame_kernel(
         @pl.when(count > 0)
         def _():
             gbuf_ref[...] = jnp.zeros_like(gbuf_ref)
+            gbuf_ref[G_Z] = jnp.full((TILE_H, TILE_W), 2.0)
             won_ref[...] = jnp.zeros_like(won_ref)
             n_chunks = pl.cdiv(count, CHUNK)
 
@@ -555,15 +591,16 @@ def _frame_kernel(
                 def use_buf(buf):
                     def group_body(g, _):
                         _process_group(
-                            buf, g, (left - g * GROUP).astype(jnp.float32),
+                            buf, g, (left - g * group).astype(jnp.float32),
                             x0f, y0f, xs8, s_iota,
                             zbuf_ref, gbuf_ref, won_ref,
                             n_samples=n_samples, depth_write=depth_write,
                             with_attrs=not outline, analytic=analytic,
+                            group=group, yband=yband,
                         )
                         return 0
 
-                    n_groups = pl.cdiv(jnp.minimum(left, CHUNK), GROUP)
+                    n_groups = pl.cdiv(jnp.minimum(left, CHUNK), group)
                     jax.lax.fori_loop(0, n_groups, group_body, 0)
 
                 # static two-way branch on the buffer slot (Mosaic prefers
@@ -650,6 +687,8 @@ def render_megakernel(
     use_mips: bool = False,
     lod_bias: tuple[float, float] = (0.0, 0.0),
     analytic: bool = False,
+    group: int | None = None,
+    yband: bool | None = None,
 ) -> jax.Array:
     """-> (2*O_CH, HP, WP) shade outputs (see shade_tpu channel layout).
 
@@ -682,6 +721,8 @@ def render_megakernel(
         ke=shade_tables.edge_tab.shape[0],
         n_levels=shade_tables.tex_tab.shape[1] - 4 if use_mips else 0,
         batched=batched, analytic=analytic,
+        group=GROUP if group is None else group,
+        yband=YBAND if yband is None else yband,
     )
     if batched:
         grid = (c_dim, by, bx)

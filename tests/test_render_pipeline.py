@@ -332,3 +332,45 @@ def test_quad_bilinear_matches_4gather(scene, mips):
     ref = render(False)   # 4-gather bilinear
     quad = render(True)   # 1-gather quad bilinear
     assert np.abs(ref - quad).max() < 1e-5, np.abs(ref - quad).max()
+
+
+@pytest.mark.parametrize("group,yband,mode", [
+    (16, False, "msaa"), (32, False, "msaa"),
+    (8, True, "msaa"), (32, True, "msaa"),
+    (32, True, "analytic"),
+])
+def test_group_size_and_yband_bitexact(scene, group, yband, mode):
+    """Sublane group size and the y-band row loop are pure scheduling
+    choices: per-pair plane math is identical, the min-z/latest-draw winner
+    is associative across group boundaries (later group wins ties via
+    zmin <= cur_z, matching the in-group latest-sublane rule), and the
+    y-band skips only rows whose any_pass is provably all-false — so every
+    variant must match the default (group=8, static rows) BIT-EXACTLY."""
+    import dataclasses
+
+    from reze_tpu.kernels import frame_tpu as FT
+
+    s = dict(scene)
+    cfg = dataclasses.replace(
+        scene["cfg"], width=256, height=64, msaa_mode=mode,
+        albedo_half_visible=False, albedo_half_occluded=False,
+    )
+    dims = pipeline_tpu.make_dims_fast(cfg)
+    packed = SF.pack_materials(s["model"].materials, s["model"].atlas)
+
+    def render(g, yb):
+        old = FT.GROUP, FT.YBAND
+        FT.GROUP, FT.YBAND = g, yb
+        try:
+            return np.asarray(pipeline_tpu.render_frame_mega(
+                s["model"], cfg, dims, packed, s["pos"], s["nrm"],
+                s["cam"].view_proj(), s["cam"].position(), s["lights"],
+                interpret=True,
+            ))
+        finally:
+            FT.GROUP, FT.YBAND = old
+
+    ref = render(8, False)
+    var = render(group, yband)
+    assert (ref.sum(-1) > 0.01).sum() > 100  # scene draws
+    assert np.array_equal(ref, var), np.abs(ref - var).max()
