@@ -57,13 +57,16 @@ DEBUG_NO_WINNER_GATE = False
 CHUNK = 128  # pairs per DMA chunk (x128 f32 row = 64 KB)
 # pairs per sublane group. Bigger groups amortize the winner/update ops
 # (reduces + (1,128) gbuf selects) over more pairs at the cost of coarser
-# tail masking and a wider y band; RZ_GROUP sweeps it on hardware.
-GROUP = int(os.environ.get("RZ_GROUP", "8"))
+# tail masking. On-chip sweep at 1080p msaa4 (scripts/mb_group.py,
+# 139,644 pairs / 1,697 segments): 8 -> 11.41 ms, 16 -> 9.67, 32 -> 9.33
+# (winner), 64 -> 9.93 (tail waste), 128 -> 70.8 (vreg spill).
+GROUP = int(os.environ.get("RZ_GROUP", "32"))
 # y-band row loop: pairs are ymin-row sorted, so a group's triangles span
 # a narrow band of the 8 tile rows; a dynamic fori_loop over just that
-# band replaces the static 8-row unroll (rows outside the band are pure
-# wasted vector work — planes, 4 sample tests and a winner on an all-false
-# any_pass).
+# band replaces the static 8-row unroll. MEASURED NEGATIVE on-chip
+# (mb_group.py: 2-3x SLOWER at every group size — dynamic-bound loops +
+# dynamic sublane slices cost far more than the rows they skip). Kept off;
+# the flag remains for re-measurement on future toolchains.
 YBAND = os.environ.get("RZ_YBAND", "0") == "1"
 ROW_W = 128  # f32 lanes per pair row (HBM DMA slices must be 128-aligned)
 
